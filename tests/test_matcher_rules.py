@@ -1,0 +1,675 @@
+"""End-to-end single-item scoring scenarios.
+
+Mirrors the mocked find_item_matches scenarios in reference
+tests/test_matcher.py (cited per test): each feeds hand-built entity JSON and
+OSM candidate rows through the parsed-record scorer and asserts the same
+accept/veto decisions.
+"""
+
+from osm_wikidata_ray.rules import tags as tag_rules
+from osm_wikidata_ray.rules.entity import item_from_entity
+from osm_wikidata_ray.rules.reduce import (
+    filter_distant,
+    prefer_stop_area_relation,
+    score_item_candidates,
+)
+from osm_wikidata_ray.rules.ruleset import RuleSet
+from osm_wikidata_ray.rules.vetoes import bad_building_match
+
+RULESET = RuleSet()
+
+
+def label_entity(en_value, qid=None, sitelinks=None, claims=None, **extra_labels):
+    labels = {"en": {"language": "en", "value": en_value}}
+    for lang, value in extra_labels.items():
+        labels[lang] = {"language": lang, "value": value}
+    e = {"claims": claims or {}, "labels": labels, "sitelinks": sitelinks or {}}
+    if qid:
+        e["id"] = qid
+    return e
+
+
+def p31(qid):
+    return {"P31": [{"mainsnak": {"datavalue": {"value": {"id": qid}}}}]}
+
+
+def rows(*specs):
+    """(planet_table, src_id, name, tags, dist) -> scorer row dicts
+    (reference run_sql row shape + get_osm_id_and_type, matcher.py:1149-1157)."""
+    out = []
+    for src_type, src_id, name, tags, dist in specs:
+        if src_type == "point":
+            osm_type, osm_id = "node", src_id
+        elif src_type == "relation":
+            osm_type, osm_id = "relation", src_id
+        elif src_id > 0:
+            osm_type, osm_id = "way", src_id
+        else:
+            osm_type, osm_id = "relation", -src_id
+        out.append(
+            {
+                "osm_type": osm_type,
+                "osm_id": osm_id,
+                "name": name,
+                "tags": tags,
+                "dist": dist,
+                "planet_table": src_type,
+                "src_id": src_id,
+            }
+        )
+    return out
+
+
+# --- tag-table units (ref tests/test_matcher.py:164-167, test_place.py:25-47) ---
+
+def test_simplify_tags():
+    assert tag_rules.simplify_tags(["building", "building=yes", "amenity=pub"]) == [
+        "building", "amenity=pub",
+    ]
+
+
+def test_categories_to_tags_museums():
+    tags = set(tag_rules.categories_to_tags(["Museums"]))
+    assert {
+        "tourism=attraction", "tourism=gallery", "tourism=museum",
+        "historic=museum", "building=museum",
+    } <= tags
+
+
+def test_extra_tags_tram_stop():
+    # ref tests/test_matcher.py:176-205
+    assert tag_rules.get_extra_tags(["Q2175765"]) == {"public_transport=stop_area"}
+    extra = tag_rules.get_extra_tags(["Q622425"])
+    assert "amenity=pub" in extra and "amenity=music_venue" in extra
+
+
+def test_prefer_stop_area_relation():
+    relation = {"osm_type": "relation", "tags": {"public_transport": "stop_area"}}
+    platform = {"osm_type": "way", "tags": {"public_transport": "platform"}}
+    assert prefer_stop_area_relation(
+        [platform, relation], {"public_transport=stop_area"}
+    ) == [relation]
+
+
+# --- accept scenarios ---
+
+def test_find_item_matches_mall():
+    # ref tests/test_matcher.py:240-265
+    osm_tags = {"landuse": "retail", "name": "Oxmoor Mall"}
+    entity = label_entity(
+        "Oxmoor Center",
+        sitelinks={"enwiki": {"site": "enwiki", "title": "Oxmoor Center"}},
+    )
+    item = item_from_entity(entity, tags=["landuse=retail"])
+    cands = score_item_candidates(item, rows(("node", 1, None, osm_tags, 0)), RULESET)
+    assert len(cands) == 1
+
+
+def test_match_operator_at_start_of_name():
+    # ref tests/test_matcher.py:376-408
+    osm_tags = {
+        "highway": "services",
+        "landuse": "commercial",
+        "name": "Welcome Break Gordano Services",
+        "operator": "Welcome Break",
+    }
+    item = item_from_entity(label_entity("Gordano services"), tags=["highway=services"])
+    cands = score_item_candidates(
+        item, rows(("polygon", 64002602, None, osm_tags, 0)), RULESET
+    )
+    assert len(cands) == 1
+
+
+def test_find_item_matches_identifier_and_address():
+    # ref tests/test_matcher.py:543-588 (Baryshnikov Arts Center)
+    osm_tags = {
+        "height": "44.9",
+        "building": "yes",
+        "addr:street": "West 37th Street",
+        "nycdoitt:bin": "1087066",
+        "addr:postcode": "10018",
+        "addr:housenumber": "450",
+    }
+    extract = (
+        "<p>The <b>Baryshnikov Arts Center</b> (<b>BAC</b>) is a foundation and "
+        "arts complex opened by Mikhail Baryshnikov in 2005 at 450 West 37th "
+        "Street between Ninth and Tenth Avenues in the Hell's Kitchen "
+        "neighborhood of Manhattan, New York City.</p>"
+    )
+    entity = label_entity(
+        "Baryshnikov Arts Center",
+        qid="Q4866042",
+        claims={
+            **p31("Q3469910"),
+            "P373": [{"mainsnak": {"datavalue": {"value": "Baryshnikov Arts Center"}}}],
+            "P856": [{"mainsnak": {"datavalue": {"value": "http://www.bacnyc.org/"}}}],
+        },
+        sitelinks={
+            "commonswiki": {"site": "commonswiki", "title": "Category:Baryshnikov Arts Center"},
+            "enwiki": {"site": "enwiki", "title": "Baryshnikov Arts Center"},
+        },
+    )
+    item = item_from_entity(entity, tags=["building"], extract=extract)
+    cands = score_item_candidates(
+        item, rows(("polygon", 265273006, None, osm_tags, 0.0)), RULESET
+    )
+    assert len(cands) == 1
+    c = cands[0]
+    assert c["osm_type"] == "way" and c["osm_id"] == 265273006
+    assert c["identifier_match"] is False
+    assert c["address_match"] is True
+    assert c["name_match"] == {}
+    assert c["matching_tags"] == {"building"}
+
+
+def test_name_and_location_better_than_address_and_building():
+    # ref tests/test_matcher.py:589-625 (Reunion Tower): both candidates kept
+    tower_tags = {"name": "Reunion Tower", "tourism": "attraction"}
+    hotel_tags = {
+        "addr:housenumber": "300",
+        "addr:street": "Reunion Boulevard",
+        "building": "hotel",
+    }
+    extract = (
+        "<p><b>Reunion Tower</b> is a 561 ft (171 m) observation tower and "
+        "one of the most recognizable landmarks in Dallas, Texas. Located at "
+        "300 Reunion Boulevard in the Reunion district of downtown Dallas.</p>"
+    )
+    item = item_from_entity(
+        label_entity("Reunion Tower"),
+        tags=["man_made=tower", "building=tower", "height"],
+        extract=extract,
+    )
+    cands = score_item_candidates(
+        item,
+        rows(
+            ("polygon", 29191381, None, hotel_tags, 0),
+            ("point", 600482843, None, tower_tags, 7),
+        ),
+        RULESET,
+    )
+    assert len(cands) == 2
+
+
+def test_alcatraz_lighthouse():
+    # ref tests/test_matcher.py:626-668: both kept at this stage
+    lighthouse_tags = {
+        "alt_name": "United States Coast Guard Lighthouse",
+        "building": "yes",
+        "man_made": "lighthouse",
+        "name": "Alcatraz Island Lighthouse",
+        "start_date": "1909",
+        "wikidata": "Q4712967",
+    }
+    island_tags = {"name": "Alcatraz Island", "tourism": "attraction"}
+    entity = label_entity(
+        "Alcatraz Island Light",
+        sitelinks={
+            "commonswiki": {"site": "commonswiki", "title": "Category:Alcatraz Island Lighthouse"},
+            "enwiki": {"site": "enwiki", "title": "Alcatraz Island Light"},
+        },
+    )
+    item = item_from_entity(
+        entity, tags=["tourism=attraction", "building", "man_made=lighthouse"]
+    )
+    cands = score_item_candidates(
+        item,
+        rows(
+            ("point", 265562462, None, island_tags, 151),
+            ("polygon", 99202294, None, lighthouse_tags, 0),
+        ),
+        RULESET,
+    )
+    assert len(cands) == 2
+
+
+def test_prefer_tag_match_over_building_only_match():
+    # ref tests/test_matcher.py:1043-1101 (Shepperton)
+    tags1 = {"name": "Shepperton", "network": "National Rail", "railway": "station"}
+    tags2 = {"building": "yes", "name": "Shepperton Station"}
+    entity = label_entity("Shepperton railway station", nl="station Shepperton")
+    item = item_from_entity(
+        entity, tags=["building=train_station", "railway=station", "building"]
+    )
+    cands = score_item_candidates(
+        item,
+        rows(
+            ("point", 3397249904, None, tags1, 26.78),
+            ("polygon", 246812406, None, tags2, 0),
+        ),
+        RULESET,
+    )
+    assert len(cands) == 1
+    c = cands[0]
+    assert c["osm_type"] == "node" and c["osm_id"] == 3397249904
+    assert c["matching_tags"] == {"railway=station"}
+
+
+# --- veto scenarios ---
+
+def test_station_shouldnt_match_distant_house():
+    # ref tests/test_matcher.py:268-311
+    osm_tags = {
+        "addr:city": "Bideford",
+        "addr:postcode": "EX39 1RJ",
+        "addr:street": "Meeting Street",
+        "addr:suburb": "Appledore",
+        "building": "house",
+        "name": "Appledore House",
+    }
+    entity = label_entity("Appledore railway station", claims=p31("Q55488"))
+    entity["aliases"] = {"en": [{"language": "en", "value": "Appledore Station"}]}
+    item = item_from_entity(
+        entity, tags=["railway=station", "building=train_station", "building"]
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 566746255, None, osm_tags, 349.9)), RULESET
+    )
+    assert cands == []
+
+
+def test_church_is_not_school():
+    # ref tests/test_matcher.py:313-346
+    item = item_from_entity(
+        label_entity("St. Paul's Catholic Church"),
+        tags=["amenity=place_of_worship", "religion=christian"],
+    )
+    osm_tags = {
+        "name": "Saint Paul's Catholic School",
+        "height": "12",
+        "amenity": "school",
+        "building": "school",
+        "religion": "christian",
+        "denomination": "catholic",
+    }
+    cands = score_item_candidates(
+        item, rows(("polygon", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_post_office_shouldnt_match_church():
+    # ref tests/test_matcher.py:348-374
+    osm_tags = {
+        "abandoned": "yes",
+        "amenity": "place_of_worship",
+        "building": "church",
+        "denomination": "anglican",
+        "name": "Saint Andrew's",
+        "religion": "christian",
+    }
+    item = item_from_entity(
+        label_entity("St Andrews Post Office"), tags=["amenity=post_office", "building"]
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_find_item_matches_parking():
+    # ref tests/test_matcher.py:409-452
+    osm_tags = {
+        "amenity": "parking",
+        "building": "yes",
+        "fee": "yes",
+        "name": "PlayhouseSquare Parking",
+        "operator": "PlayhouseSquare",
+        "parking": "multi-storey",
+        "supervised": "yes",
+    }
+    entity = label_entity(
+        "Playhouse Square",
+        de="Playhouse Square",
+        sitelinks={
+            "commonswiki": {"site": "commonswiki", "title": "Category:Playhouse Square"},
+            "enwiki": {"site": "enwiki", "title": "Playhouse Square"},
+        },
+    )
+    item = item_from_entity(entity, tags=["amenity=arts_centre", "building"])
+    cands = score_item_candidates(
+        item, rows(("polygon", 116620439, None, osm_tags, 253.7)), RULESET
+    )
+    assert cands == []
+
+
+def test_embassy_no_match():
+    # ref tests/test_matcher.py:454-514: Israeli consulate vs Swiss consulate
+    osm_tags1 = {
+        "name": "Consulate General of Switzerland in San Francisco",
+        "amenity": "embassy",
+        "country": "CH",
+        "addr:city": "San Francisco",
+        "addr:state": "CA",
+        "addr:street": "Montgomery Street",
+        "addr:postcode": "94104",
+        "addr:housenumber": "456",
+    }
+    osm_tags2 = {
+        "addr:housenumber": "456",
+        "addr:street": "Montgomery Street",
+        "building": "yes",
+        "building:levels": "22",
+        "height": "114",
+        "name": "Consulate General of Switzerland in San Francisco",
+    }
+    extract = (
+        "<p>The <b>Consulate General of Israel to the Pacific Northwest "
+        "Region</b>, is one of Israel's diplomatic missions abroad, located at "
+        "456 Montgomery Street Suite #2100 in San Francisco, California.</p>"
+    )
+    entity = label_entity(
+        "Consulate General of Israel to the Pacific Northwest Region",
+        claims={
+            "P17": [{"mainsnak": {"datavalue": {"value": {"id": "Q30"}}}}],
+            "P137": [{"mainsnak": {"datavalue": {"value": {"id": "Q801"}}}}],
+        },
+    )
+    item = item_from_entity(entity, tags=["amenity=embassy"], extract=extract)
+    cands = score_item_candidates(
+        item,
+        rows(
+            ("point", 1, None, osm_tags1, 0),
+            ("polygon", 2, None, osm_tags2, 0),
+        ),
+        RULESET,
+    )
+    assert cands == []
+
+
+def test_find_item_matches_pub():
+    # ref tests/test_matcher.py:516-541: Castle House vs The Castle Inn
+    osm_tags = {"amenity": "university", "building": "university", "name": "Castle House"}
+    item = item_from_entity(
+        label_entity("The Castle Inn"), tags=["building", "amenity=pub"]
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", -295355, None, osm_tags, 12.75)), RULESET
+    )
+    assert cands == []
+
+
+def test_cottage_church_bad_match():
+    # ref tests/test_matcher.py:778-821 (cottage IsA ending is skipped)
+    church_tags = {
+        "amenity": "place_of_worship",
+        "building": "yes",
+        "denomination": "anglican",
+        "name": "Saint Anne",
+        "religion": "christian",
+    }
+    item = item_from_entity(
+        label_entity("St Anne's Cottage"),
+        tags=["building", "building=yes"],
+        isa_labels={"Q5783996": {"en": "cottage"}},
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 111491387, None, church_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_lifeboat_station_church_bad_match():
+    # ref tests/test_matcher.py:823-857
+    osm_tags = {
+        "amenity": "place_of_worship",
+        "building": "yes",
+        "denomination": "anglican",
+        "name": "St Agnes'",
+        "religion": "christian",
+    }
+    item = item_from_entity(
+        label_entity("St Agnes Lifeboat Station"),
+        tags=["amenity=lifeboat_station", "building", "building=yes", "emergency=lifeboat_station"],
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 234155614, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_castle_station_bad_match():
+    # ref tests/test_matcher.py:859-891
+    osm_tags = {
+        "building": "train_station",
+        "name": "Holyhead",
+        "name:cy": "Caergybi",
+        "railway": "station",
+    }
+    item = item_from_entity(
+        label_entity("Caer Gybi", cy="Caer Gybi (caer)"),
+        tags=["historic=castle", "building"],
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 158252670, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_art_space_address_shouldnt_match_train_station():
+    # ref tests/test_matcher.py:893-930
+    osm_tags = {
+        "addr:city": "Basel",
+        "addr:housenumber": "200",
+        "addr:postcode": "4058",
+        "addr:street": "Schwarzwaldallee",
+        "building": "train_station",
+        "building:levels": "1",
+        "name": "Badischer Bahnhof",
+        "wheelchair": "limited",
+    }
+    item = item_from_entity(
+        label_entity("Ausstellungsraum Klingental"),
+        tags=["tourism=gallery"],
+        extract="The art space is at Schwarzwaldallee 200, 4058 Basel.",
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_church_pub_bad_match():
+    # ref tests/test_matcher.py:932-977
+    osm_tags = {"amenity": "pub", "building": "commercial", "name": "The Broadwater"}
+    entity = label_entity(
+        "St. Mary's Church, Broadwater",
+        claims={
+            "P373": [{"mainsnak": {"datavalue": {"value": "Broadwater Church, West Sussex"}}}],
+        },
+        sitelinks={
+            "commonswiki": {"site": "commonswiki", "title": "Category:Broadwater Church, West Sussex"},
+            "enwiki": {"site": "enwiki", "title": "St Mary's Church, Broadwater"},
+        },
+    )
+    item = item_from_entity(
+        entity,
+        tags=[
+            "religion=christian", "building=yes", "building",
+            "amenity=place_of_worship", "building=shrine", "building=temple",
+            "building=church",
+        ],
+        place_names=["West Sussex"],
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 91013361, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_railway_station_cafe_bad_match():
+    # ref tests/test_matcher.py:979-1041
+    osm_tags = {
+        "addr:city": "Gillingham",
+        "addr:housename": "Gillingham (Kent) Railway Station",
+        "addr:postcode": "ME7 1XE",
+        "addr:street": "Railway Street",
+        "amenity": "cafe",
+        "building": "yes",
+        "cuisine": "coffee_shop",
+        "name": "BeeZoo Coffee Shop",
+    }
+    entity = label_entity(
+        "Gillingham railway station",
+        sitelinks={
+            "commonswiki": {"site": "commonswiki", "title": "Category:Gillingham (Kent) railway station"},
+            "enwiki": {"site": "enwiki", "title": "Gillingham railway station (Kent)"},
+            "nlwiki": {"site": "nlwiki", "title": "Station Gillingham (Kent)"},
+            "simplewiki": {"site": "simplewiki", "title": "Gillingham (Kent) railway station"},
+        },
+    )
+    item = item_from_entity(
+        entity, tags=["building=train_station", "railway=station", "railway=halt"]
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+# --- candidate-list filter units ---
+
+def test_filter_distant():
+    # ref tests/test_matcher.py:1104-1150
+    def mk(osm_id, dist):
+        return {
+            "address_match": None,
+            "dist": dist,
+            "identifier_match": False,
+            "name": "Martello Tower",
+            "name_match": {"name": [("good", "Martello Tower", [("label", "en")])]},
+            "osm_id": osm_id,
+            "osm_type": "way",
+            "planet_table": "polygon",
+            "src_id": osm_id,
+            "tags": {"building": "yes", "historic": "fort", "name": "Martello Tower"},
+        }
+
+    close, distant = mk(108215711, 0.0), mk(108215724, 1228.68)
+    assert filter_distant([close, distant]) == [close]
+    distant["dist"] = 900
+    assert filter_distant([close, distant]) == [close, distant]
+
+
+def test_bad_building_match():
+    # ref tests/test_matcher.py:1152-1220
+    item = {}
+    assert not bad_building_match({}, {}, item)
+    name_match = {"name": [("good", "Test", [("label", "en")])]}
+    assert bad_building_match({"amenity": "parking"}, name_match, item)
+    assert not bad_building_match({}, name_match, item)
+    name_match = {"name": [("both_trimmed", "Test", [("label", "en")])]}
+    assert bad_building_match({}, name_match, item)
+    name_match = {
+        "name": [("both_trimmed", "Test", [("label", "en")])],
+        "old_name": [("good", "Test", [("label", "en")])],
+    }
+    assert not bad_building_match({}, name_match, item)
+    name_match = {
+        "name": [("both_trimmed", "Test", [("label", "en")])],
+        "operator": [("wikidata_trimmed", "Test", [("label", "en")])],
+    }
+    assert bad_building_match({}, name_match, item)
+
+
+# --- check_item_candidate-style scenarios (ref tests/test_matcher.py:1129-1320) ---
+
+def test_stable_shouldnt_match_house():
+    osm_tags = {"addr:street": "Back Lane", "building": "house", "name": "Nazeing Park"}
+    entity = label_entity("Stable At Nazeing Park", claims=p31("Q214252"))
+    item = item_from_entity(
+        entity, tags=["building=stable"], isa_labels={"Q214252": {"en": "stable"}}
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_hamlet_shouldnt_match_house():
+    osm_tags = {"name": "Pednor House", "place": "residence"}
+    entity = label_entity("Pednor", claims=p31("Q5084"))
+    item = item_from_entity(
+        entity,
+        tags=tag_rules.categories_to_tags(["Hamlets in Buckinghamshire"]),
+        categories=["Hamlets in Buckinghamshire"],
+    )
+    item["names"].setdefault("Pednor", []).append(("extract", "enwiki"))
+    cands = score_item_candidates(
+        item, rows(("point", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_station_shouldnt_match_school():
+    osm_tags = {
+        "addr:city": "Cummersdale",
+        "building": "school",
+        "name": "Cummersdale School",
+    }
+    entity = label_entity("Cummersdale railway station", claims=p31("Q55488"))
+    cats = ["Disused railway stations in Cumbria"]
+    item = item_from_entity(
+        entity, tags=tag_rules.categories_to_tags(cats), categories=cats
+    )
+    item["names"].setdefault("Cummersdale", []).append(("extract", "enwiki"))
+    cands = score_item_candidates(
+        item, rows(("polygon", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_railway_station_shouldnt_match_bus_stop_with_shared_platform_tag():
+    osm_tags = {
+        "bus": "yes",
+        "highway": "bus_stop",
+        "name": "Finchley Road Station",
+        "public_transport": "platform",
+    }
+    entity = label_entity("Finchley Road railway station", claims=p31("Q55488"))
+    entity["aliases"] = {"en": [{"language": "en", "value": "Finchley Road Station"}]}
+    item = item_from_entity(
+        entity, tags=["public_transport=platform", "railway=historic_station"]
+    )
+    cands = score_item_candidates(
+        item, rows(("point", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_no_match_cottage():
+    osm_tags = {
+        "addr:housename": "Stonehaven",
+        "addr:housenumber": "6",
+        "addr:street": "High St",
+        "building": "yes",
+    }
+    entity = label_entity("Stonehaven Cottage", claims=p31("Q5783996"))
+    item = item_from_entity(entity, tags=["building"])
+    cands = score_item_candidates(
+        item, rows(("polygon", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
+
+
+def test_school_shouldnt_match_church():
+    osm_tags = {
+        "amenity": "place_of_worship",
+        "building": "yes",
+        "denomination": "roman_catholic",
+        "name": "Our Lady of Lourdes",
+        "religion": "christian",
+    }
+    entity = label_entity("Our Lady of Lourdes School", claims=p31("Q3914"))
+    cats = [
+        "Catholic primary schools in the Archdiocese of Westminster",
+        "Primary schools in the London Borough of Enfield",
+        "Voluntary aided schools in London",
+    ]
+    item = item_from_entity(
+        entity, tags=tag_rules.categories_to_tags(cats), categories=cats
+    )
+    cands = score_item_candidates(
+        item, rows(("polygon", 1, None, osm_tags, 0)), RULESET
+    )
+    assert cands == []
