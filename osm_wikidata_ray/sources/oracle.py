@@ -1,0 +1,116 @@
+"""Single-process oracle for the linkage pipeline.
+
+Runs the exact rule library over a (small) doc corpus in plain Python —
+decode → block → distance-gate → score → reduce → 1:1 → accepted pairs —
+mirroring find_item_matches + filter_candidates_more
+(matcher/matcher.py:602-917,1429-1481).  The Ray pipeline must produce the
+same accepted-pair set; tests compute pairwise F1 of engine vs oracle vs the
+generator's intended labels.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from typing import Any, Iterable
+
+from ..functions.keys import osm_block_keys, wd_block_keys
+from ..functions.spans import decode_doc
+from ..geo import haversine_m
+from ..rules.reduce import CANDIDATE_LIMIT, choose_single_candidate, score_item_candidates
+from ..rules.ruleset import RuleSet
+from ..rules.tags import DEFAULT_MAX_DIST_KM, get_max_dist_from_criteria
+
+NEARBY_NODE_M = 10.0  # matcher.py:241
+
+
+def decode_corpus(docs: Iterable[dict[str, Any]]) -> tuple[list[dict], list[dict]]:
+    items, objs = [], []
+    for d in docs:
+        rec = decode_doc(d["doc_id"], d["spans"])
+        if rec is None:
+            continue
+        if rec["side"] == "wd":
+            items.append(rec["item"])
+        else:
+            objs.append(rec["obj"])
+    return items, objs
+
+
+def candidate_rows_for_items(
+    items: list[dict], objs: list[dict]
+) -> dict[str, list[dict]]:
+    """Blocking + distance gating: per-qid candidate OSM rows."""
+    by_key: defaultdict[str, list[int]] = defaultdict(list)
+    for j, o in enumerate(objs):
+        for k in osm_block_keys(o["tags"], o["lat"], o["lon"], o["planet_table"]):
+            by_key[k].append(j)
+
+    per_item: dict[str, list[dict]] = {}
+    for item in items:
+        max_dist_m = (
+            get_max_dist_from_criteria(item.get("tags") or []) or DEFAULT_MAX_DIST_KM
+        ) * 1000.0
+        cand_idx: set[int] = set()
+        for k in wd_block_keys(item):
+            cand_idx.update(by_key.get(k, ()))
+        rows = []
+        for j in cand_idx:
+            o = objs[j]
+            dist = float(haversine_m(item["lat"], item["lon"], o["lat"], o["lon"]))
+            limit = max_dist_m
+            if o["planet_table"] == "point":
+                limit = max(limit, NEARBY_NODE_M)
+            if dist <= max_dist_m or (
+                o["planet_table"] == "point" and dist <= NEARBY_NODE_M
+            ):
+                rows.append({**o, "dist": dist})
+        rows.sort(key=lambda r: (r["dist"], r["osm_type"], r["osm_id"]))
+        per_item[item["qid"]] = rows[:CANDIDATE_LIMIT]
+    return per_item
+
+
+def oracle_accepted_pairs(
+    docs: Iterable[dict[str, Any]], ruleset: RuleSet | None = None
+) -> list[dict[str, Any]]:
+    """Accepted (qid, osm) pairs after all per-item and cross-item filters."""
+    ruleset = ruleset or RuleSet()
+    items, objs = decode_corpus(docs)
+    per_item = candidate_rows_for_items(items, objs)
+    items_by_qid = {i["qid"]: i for i in items}
+
+    chosen: dict[str, dict] = {}
+    for qid, rows in per_item.items():
+        cands = score_item_candidates(items_by_qid[qid], rows, ruleset)
+        if not cands:
+            continue
+        cand, note = choose_single_candidate(items_by_qid[qid], cands)
+        if cand is not None:
+            chosen[qid] = cand
+
+    # cross-item 1:1 constraint (matcher.py:1473-1475)
+    osm_count = Counter((c["osm_type"], c["osm_id"]) for c in chosen.values())
+    accepted = []
+    for qid, c in sorted(chosen.items()):
+        if osm_count[(c["osm_type"], c["osm_id"])] > 1:
+            continue
+        if "wikidata" in c["tags"]:  # already tagged (matcher.py:1477-1479)
+            continue
+        accepted.append(
+            {"qid": qid, "osm_type": c["osm_type"], "osm_id": c["osm_id"], "dist": c["dist"]}
+        )
+    return accepted
+
+
+def pairwise_f1(
+    predicted: set[tuple], gold: set[tuple]
+) -> dict[str, float]:
+    tp = len(predicted & gold)
+    precision = tp / len(predicted) if predicted else 1.0
+    recall = tp / len(gold) if gold else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall)
+        else 0.0
+    )
+    return {"precision": precision, "recall": recall, "f1": f1, "tp": tp,
+            "fp": len(predicted - gold), "fn": len(gold - predicted)}
