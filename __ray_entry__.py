@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash).  Nothing here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query families:
+  linkage_*   the flagship record-linkage engine over the interleaved
+              text+media doc table (synthesized deterministically per sf —
+              the north-rule input; not SQL-expressible → rows-only checks;
+              correctness is gated by tests/test_pipeline.py F1 vs oracle)
+  dedup_* / ann_* / lang_id / doc_* / token_counts / quality
+              training-data operators over documents/embeddings
+  q_*         relational operator proofs over the TPC-H-ish tables with
+              exact DuckDB oracles
 """
 
 from __future__ import annotations
@@ -18,27 +21,184 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# deterministic doc-corpus size per scale factor (docs ≈ 1000 × sf × 100)
+_SF_DOCS = {"0.001": 300, "0.01": 1200, "0.1": 12000}
+
+
+def _sf_from_dir(sf_dir: str) -> str:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return m.group(1) if m else "0.01"
+
+
+def _synth_docs_ds(sf_dir: str):
+    import ray
+
+    from osm_wikidata_ray.sources.synth import generate_corpus
+
+    n = _SF_DOCS.get(_sf_from_dir(sf_dir), 1200)
+    docs, _gold = generate_corpus(n)
+    return ray.data.from_items(docs).repartition(8)
+
+
+def _linkage(sf_dir: str, with_clusters: bool = False):
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+
+    return run_linkage(
+        _synth_docs_ds(sf_dir),
+        with_clusters=with_clusters,
+        hot_key_threshold=500,
+        salt_factor=8,
+        scorer_concurrency=(1, 4),
+    )
+
+
+def _linkage_accepted(sf_dir: str):
+    return (
+        _linkage(sf_dir)
+        .accepted.select_columns(["qid", "osm_type", "osm_id"])
+        .sort(["qid"])
+    )
+
+
+def _linkage_candidates(sf_dir: str):
+    return (
+        _linkage(sf_dir)
+        .candidates.select_columns(
+            ["qid", "osm_type", "osm_id", "identifier_match", "chosen"]
+        )
+        .sort(["qid", "osm_type", "osm_id"])
+    )
+
+
+def _linkage_clusters(sf_dir: str):
+    return _linkage(sf_dir, with_clusters=True).clusters.sort(["node"])
+
+
+def _linkage_parse(sf_dir: str):
+    from osm_wikidata_ray.stages.parse import parse_docs
+
+    ds = _synth_docs_ds(sf_dir).map_batches(parse_docs, batch_format="pyarrow")
+    return ds.select_columns(["side", "entity_id", "doc_id", "span_checksum"]).sort(
+        ["doc_id"]
+    )
+
+
+def _linkage_span_roundtrip(sf_dir: str):
+    from osm_wikidata_ray.pipelines.linkage import verify_spans
+
+    return verify_spans(_synth_docs_ds(sf_dir)).sort(["doc_id"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full linkage run."""
+    return _linkage_accepted("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_wikidata_ray.pipelines import training_data as td
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship linkage engine (rows-only; pytest gates F1) ---
+        "linkage_accepted": _linkage_accepted,
+        "linkage_candidates": _linkage_candidates,
+        "linkage_clusters": _linkage_clusters,
+        "linkage_parse": _linkage_parse,
+        "linkage_span_roundtrip": _linkage_span_roundtrip,
+        # --- training-data ops over documents/embeddings ---
+        "doc_stats": lambda sf: td.doc_stats(sf).sort(["doc_id"]),
+        "token_counts": lambda sf: td.token_counts(sf).sort(["source"]),
+        "quality": lambda sf: td.quality_score(sf).sort(["doc_id"]),
+        "lang_id": lambda sf: td.lang_id(sf).sort(["doc_id"]),
+        "doc_fingerprint": lambda sf: td.doc_fingerprint(sf).sort(["doc_id"]),
+        "dedup_exact": lambda sf: td.dedup_exact(sf).sort(["doc_id"]),
+        "dedup_minhash": lambda sf: td.dedup_minhash(sf).sort(["doc_a", "doc_b"]),
+        "dedup_ngram_jaccard": lambda sf: td.dedup_ngram_jaccard(sf).sort(
+            ["doc_a", "doc_b"]
+        ),
+        "dedup_simhash": lambda sf: td.dedup_simhash(sf).sort(["doc_a", "doc_b"]),
+        "dedup_embedding_cosine": lambda sf: td.dedup_embedding_cosine(sf).sort(
+            ["vec_a", "vec_b"]
+        ),
+        # compare the top-k membership; cosine itself is float32 in the
+        # DuckDB oracle and float64 here, so the score column stays internal
+        "ann_topk": lambda sf: td.ann_topk(sf)
+        .select_columns(["query_id", "vec_id"])
+        .sort(["query_id", "vec_id"]),
+        # --- relational operator proofs (exact DuckDB oracles) ---
+        "q_pricing_summary": lambda sf: td.pricing_summary(sf).sort(
+            ["l_returnflag", "l_linestatus"]
+        ),
+        "q_top_customers": td.top_customers,
+        "q_events_by_type": lambda sf: td.events_by_type(sf).sort(["event_type"]),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    punct = "[^a-zA-Z0-9 ]"
+    return {
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS n_punct
+            FROM documents ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT source,
+                   sum(array_length(string_split_regex(trim(text), '\\s+')))::BIGINT AS "sum(n_tokens)"
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                    e.vec_id
+                       ) AS rn
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id FROM scored WHERE rn <= 10
+            ORDER BY query_id, vec_id
+        """,
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_top_customers": """
+            SELECT c.c_name, n.n_name,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY c.c_name, n.n_name
+            ORDER BY revenue DESC, c_name LIMIT 10
+        """,
+        "q_events_by_type": """
+            SELECT event_type, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    }

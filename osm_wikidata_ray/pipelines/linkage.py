@@ -1,0 +1,123 @@
+"""The flagship record-linkage pipeline (doc table → clusters).
+
+    docs ─ map_batches(parse_docs)          stateless parse + key explosion
+         ─ map_batches(explode_keys)
+         ─ [count pass → hot keys → Salter] skew handling
+         ─ groupby(block_key).map_groups    pair generation (shuffle 1)
+         ─ groupby(qid).map_groups(Scorer)  scoring actor pool (shuffle 2)
+         ─ groupby(osm).map_groups          1:1 conflict gate (shuffle 3)
+         ─ connected_components             transitive closure (shuffle 4)
+
+All stages are streaming Dataset transforms; optional per-stage checkpoints
+(state/lineage.Checkpoints) give per-partition lineage and resume.  Never
+calls ray.init() — the caller owns the Ray session (driver contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import ray
+
+from ..stages import blocking, clustering, parse, scoring
+from ..state.lineage import Checkpoints
+
+
+@dataclass
+class LinkageResult:
+    candidates: "ray.data.Dataset"
+    resolved: "ray.data.Dataset"
+    accepted: "ray.data.Dataset"
+    clusters: "ray.data.Dataset | None" = None
+    hot_keys: set[str] = field(default_factory=set)
+
+
+def read_docs(path: str, **kwargs: Any) -> "ray.data.Dataset":
+    """Read the doc table.  Lance when available (north-rule input), else
+    Parquet — the rest of the pipeline is format-agnostic."""
+    if path.endswith(".lance"):
+        try:
+            return ray.data.read_lance(path, **kwargs)
+        except (ImportError, AttributeError) as e:  # lance not installed here
+            raise ImportError("pylance is not available in this environment") from e
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def run_linkage(
+    docs: "ray.data.Dataset",
+    *,
+    checkpoint_dir: str | None = None,
+    hot_key_threshold: int = blocking.DEFAULT_HOT_THRESHOLD,
+    salt_factor: int = blocking.DEFAULT_SALT_FACTOR,
+    scorer_concurrency: int | tuple[int, int] = (1, 8),
+    with_clusters: bool = True,
+    ruleset_kwargs: dict[str, Any] | None = None,
+) -> LinkageResult:
+    """Assemble the full linkage pipeline over a docs Dataset."""
+    ckpt = Checkpoints(checkpoint_dir)
+
+    def build_exploded() -> "ray.data.Dataset":
+        records = docs.map_batches(parse.parse_docs, batch_format="pyarrow")
+        return records.map_batches(blocking.explode_keys, batch_format="pyarrow")
+
+    # The count pass and the pairing pass both consume the exploded table;
+    # checkpoint (or object-store materialize) so parse runs once.
+    exploded = ckpt.run("exploded", build_exploded)
+    if checkpoint_dir is None:
+        exploded = exploded.materialize()
+
+    hot = blocking.detect_hot_keys(exploded, hot_key_threshold)
+    if hot:
+        hot_ref = ray.put(hot)  # broadcast once, read per actor
+        exploded = exploded.map_batches(
+            blocking.Salter,
+            fn_constructor_args=(hot_ref, salt_factor),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+
+    def build_candidates() -> "ray.data.Dataset":
+        pairs = exploded.groupby("block_key").map_groups(
+            blocking.emit_pairs, batch_format="pandas"
+        )
+        return pairs.groupby("qid").map_groups(
+            scoring.ScorerReducer,
+            fn_constructor_args=(ruleset_kwargs,),
+            batch_format="pandas",
+            concurrency=scorer_concurrency,
+        )
+
+    candidates = ckpt.run("candidates", build_candidates)
+    if checkpoint_dir is None:
+        # multiple consumers below — pin to the object store so the lazy DAG
+        # doesn't re-execute per consumer (spillable; candidates ≪ input)
+        candidates = candidates.materialize()
+
+    resolved = ckpt.run("resolved", lambda: clustering.resolve_conflicts(candidates))
+    if checkpoint_dir is None:
+        resolved = resolved.materialize()
+    accepted = clustering.accepted_pairs(resolved)
+
+    clusters = None
+    if with_clusters:
+        clusters = ckpt.run(
+            "clusters", lambda: clustering.connected_components(accepted)
+        )
+
+    return LinkageResult(
+        candidates=candidates,
+        resolved=resolved,
+        accepted=accepted,
+        clusters=clusters,
+        hot_keys=hot,
+    )
+
+
+def verify_spans(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Span-sequence invariant table: doc_id → checksum for every doc.
+
+    Re-computing this at the sink and comparing with the checksums carried
+    through parse→pairs proves (kind, text, media_ref, order) equality
+    end-to-end (BASELINE.md per-row invariant)."""
+    return docs.map_batches(parse.checksum_docs, batch_format="pyarrow")

@@ -1,0 +1,156 @@
+"""End-to-end linkage pipeline tests on the synthetic corpus.
+
+Gates (BASELINE.md): pairwise F1 ≥ 0.99 vs gold labels at the same blocking
+keys; per-row span-sequence checksum equality; engine == single-process
+oracle; resume skips completed stages.
+"""
+
+import json
+
+import pytest
+
+from osm_wikidata_ray.sources.oracle import oracle_accepted_pairs, pairwise_f1
+from osm_wikidata_ray.sources.synth import corpus_checksums, generate_corpus
+
+N_DOCS = 320
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def linkage_result(ray_session, corpus):
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+
+    docs, _gold = corpus
+    ds = ray_session.data.from_items(docs).repartition(8)
+    return run_linkage(
+        ds, with_clusters=True, hot_key_threshold=100, salt_factor=4,
+        scorer_concurrency=(1, 2),
+    )
+
+
+def test_pairwise_f1_vs_gold(linkage_result, corpus):
+    _docs, gold = corpus
+    acc = linkage_result.accepted.to_pandas()
+    pred = {(r.qid, r.osm_type, r.osm_id) for r in acc.itertuples()}
+    gold_match = {
+        (g["qid"], g["osm_type"], g["osm_id"]) for g in gold if g["label"] == "match"
+    }
+    gold_non = {
+        (g["qid"], g["osm_type"], g["osm_id"]) for g in gold if g["label"] == "nonmatch"
+    }
+    scores = pairwise_f1(pred, gold_match)
+    assert scores["f1"] >= 0.99, scores
+    assert not (pred & gold_non), "engine accepted a planted nonmatch"
+
+
+def test_engine_matches_oracle(linkage_result, corpus):
+    docs, _gold = corpus
+    acc = linkage_result.accepted.to_pandas()
+    pred = {(r.qid, r.osm_type, r.osm_id) for r in acc.itertuples()}
+    oracle = {
+        (p["qid"], p["osm_type"], p["osm_id"]) for p in oracle_accepted_pairs(docs)
+    }
+    assert pred == oracle
+
+
+def test_span_checksum_invariant(ray_session, linkage_result, corpus):
+    """Checksums carried through parse→pairs→candidates equal re-computed
+    source checksums (kind, text, media_ref, order preserved)."""
+    docs, _gold = corpus
+    source = corpus_checksums(docs)
+    acc = linkage_result.accepted.to_pandas()
+    assert len(acc) > 0
+    for r in acc.itertuples():
+        assert source[r.wd_doc_id] == r.wd_checksum
+        assert source[r.osm_doc_id] == r.osm_checksum
+
+    from osm_wikidata_ray.pipelines.linkage import verify_spans
+
+    ds = ray_session.data.from_items(docs).repartition(4)
+    sink = verify_spans(ds).to_pandas()
+    assert len(sink) == len(docs)
+    for r in sink.itertuples():
+        assert source[r.doc_id] == r.span_checksum
+
+
+def test_clusters_cover_accepted_pairs(linkage_result):
+    acc = linkage_result.accepted.to_pandas()
+    cl = linkage_result.clusters.to_pandas()
+    label = dict(zip(cl.node, cl.cluster_id))
+    for r in acc.itertuples():
+        assert label[r.qid] == label[f"{r.osm_type}/{r.osm_id}"]
+    # 1:1-filtered pairs → all components have exactly 2 nodes
+    sizes = cl.groupby("cluster_id").size()
+    assert (sizes == 2).all()
+
+
+def test_connected_components_general(ray_session):
+    """Transitive closure is general: a 4-node chain collapses to one
+    cluster (not just the 1:1 size-2 case)."""
+    import pyarrow as pa
+
+    from osm_wikidata_ray.stages.clustering import connected_components
+
+    pairs = ray_session.data.from_arrow(
+        pa.table(
+            {
+                "qid": ["Q1", "Q1", "Q2"],
+                "osm_type": ["node", "way", "way"],
+                "osm_id": [1, 2, 2],
+            }
+        )
+    )
+    cl = connected_components(pairs, num_partitions=2).to_pandas()
+    assert cl.cluster_id.nunique() == 1
+    assert set(cl.node) == {"Q1", "Q2", "node/1", "way/2"}
+
+
+def test_hot_key_salting(ray_session, corpus):
+    """The San Jose block is detected as hot and still resolves correctly."""
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+    from osm_wikidata_ray.sources.synth import generate_scenario
+
+    s = generate_scenario(97)  # hot-key scenario
+    assert s.family == "hot_key"
+    docs = [{"doc_id": d, "spans": sp} for d, sp in s.docs]
+    ds = ray_session.data.from_items(docs).repartition(2)
+    res = run_linkage(
+        ds, with_clusters=False, hot_key_threshold=20, salt_factor=4,
+        scorer_concurrency=(1, 2),
+    )
+    assert any(k.startswith("n:sanjose") or k.startswith("n:san") for k in res.hot_keys)
+    acc = res.accepted.to_pandas()
+    gold_match = {
+        (g["qid"], g["osm_type"], g["osm_id"]) for g in s.gold if g["label"] == "match"
+    }
+    assert {(r.qid, r.osm_type, r.osm_id) for r in acc.itertuples()} == gold_match
+
+
+def test_resume_skips_completed_stages(ray_session, corpus, tmp_path):
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+
+    docs, _gold = corpus
+    ds = ray_session.data.from_items(docs[:60]).repartition(2)
+    ck = str(tmp_path / "ckpt")
+
+    res1 = run_linkage(ds, checkpoint_dir=ck, with_clusters=False,
+                       scorer_concurrency=(1, 2))
+    n1 = res1.accepted.count()
+
+    res2 = run_linkage(ds, checkpoint_dir=ck, with_clusters=False,
+                       scorer_concurrency=(1, 2))
+    n2 = res2.accepted.count()
+    assert n1 == n2
+
+    events = [
+        json.loads(line)
+        for line in open(f"{ck}/metrics.jsonl")
+    ]
+    stages = [e for e in events if e["event"] == "resume-skip"]
+    assert {e["stage"] for e in stages} >= {"exploded", "candidates", "resolved"}
+    manifest = json.loads(open(f"{ck}/candidates/MANIFEST.json").read())
+    assert manifest["complete"] and manifest["partitions"]
