@@ -42,16 +42,24 @@ def _synth_docs_ds(sf_dir: str):
     return ray.data.from_items(docs).repartition(8)
 
 
+_linkage_cache: dict[tuple[str, bool], Any] = {}
+
+
 def _linkage(sf_dir: str, with_clusters: bool = False):
+    """Run (or reuse) the linkage pipeline — several queries() entries view
+    different outputs of the same run, so cache per (sf, clusters)."""
     from osm_wikidata_ray.pipelines.linkage import run_linkage
 
-    return run_linkage(
-        _synth_docs_ds(sf_dir),
-        with_clusters=with_clusters,
-        hot_key_threshold=500,
-        salt_factor=8,
-        scorer_concurrency=(1, 4),
-    )
+    key = (_sf_from_dir(sf_dir), with_clusters)
+    if key not in _linkage_cache:
+        _linkage_cache[key] = run_linkage(
+            _synth_docs_ds(sf_dir),
+            with_clusters=with_clusters,
+            hot_key_threshold=500,
+            salt_factor=8,
+            scorer_concurrency=(1, 4),
+        )
+    return _linkage_cache[key]
 
 
 def _linkage_accepted(sf_dir: str):
@@ -91,6 +99,13 @@ def _linkage_span_roundtrip(sf_dir: str):
     return verify_spans(_synth_docs_ds(sf_dir)).sort(["doc_id"])
 
 
+def _media_features(sf_dir: str):
+    from osm_wikidata_ray.pipelines.multimodal import media_features
+
+    ds = media_features(_synth_docs_ds(sf_dir))
+    return ds.select_columns(["media_id"]).sort(["media_id"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full linkage run."""
     return _linkage_accepted("/root/testdata/sf0.001")
@@ -106,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _linkage_clusters,
         "linkage_parse": _linkage_parse,
         "linkage_span_roundtrip": _linkage_span_roundtrip,
+        "media_features": _media_features,
         # --- training-data ops over documents/embeddings ---
         "doc_stats": lambda sf: td.doc_stats(sf).sort(["doc_id"]),
         "token_counts": lambda sf: td.token_counts(sf).sort(["source"]),

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "pairs_scored": P, "pairs_per_sec": R}
+
+--scaling runs the linkage headline twice in fresh processes (num_cpus=8 and
+num_cpus=32) on the same input and reports both throughputs plus the scaling
+efficiency (sandbox proxy for the N→4N-node criterion; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+
+def _sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def run_linkage_bench(sf_dir: str, n_docs: int | None = None) -> dict:
+    """Headline: full linkage pipeline over the synthesized doc corpus."""
+    import ray
+
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+    from osm_wikidata_ray.sources.synth import generate_corpus
+
+    sf = _sf(sf_dir)
+    n = n_docs or max(2000, int(120_000 * sf))
+    docs, _gold = generate_corpus(n)
+    ds = ray.data.from_items(docs).repartition(64)
+
+    t0 = time.time()
+    res = run_linkage(
+        ds, with_clusters=True, hot_key_threshold=2000, salt_factor=8,
+        scorer_concurrency=(2, 16),
+    )
+    n_candidates = res.candidates.count()
+    n_accepted = res.accepted.count()
+    n_clusters = res.clusters.count()
+    wall = time.time() - t0
+    return {
+        "wall_s": wall,
+        "n_docs": n,
+        "pairs_scored": n_candidates,
+        "accepted": n_accepted,
+        "cluster_rows": n_clusters,
+        "docs_per_sec": n / wall,
+    }
+
+
+TRAINING_BENCHES = [
+    "doc_stats", "token_counts", "quality", "lang_id", "doc_fingerprint",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding_cosine",
+    "ann_topk", "q_pricing_summary", "q_top_customers", "q_events_by_type",
+]
+
+
+def run_training_benches(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in TRAINING_BENCHES:
+        t0 = time.time()
+        ds = queries[name](sf_dir)
+        # force full execution
+        n = ds.count() if hasattr(ds, "count") else len(ds)
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--linkage-only", action="store_true")
+    parser.add_argument("--n-docs", type=int, default=None)
+    args = parser.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        run_scaling(sf_dir)
+        return
+
+    _init_ray(num_cpus)
+    t_start = time.time()
+    linkage = run_linkage_bench(sf_dir, args.n_docs)
+    queries = {"linkage": round(linkage["wall_s"], 3)}
+    if not args.linkage_only:
+        queries.update(run_training_benches(sf_dir))
+    total = time.time() - t_start
+
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end pipeline wall time (linkage + training-data ops)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf(sf_dir),
+                "num_cpus": num_cpus,
+                "n_docs": linkage["n_docs"],
+                "pairs_scored": linkage["pairs_scored"],
+                "pairs_per_sec": round(linkage["pairs_scored"] / linkage["wall_s"], 1),
+                "docs_per_sec": round(linkage["docs_per_sec"], 1),
+                "accepted_pairs": linkage["accepted"],
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+def run_scaling(sf_dir: str) -> None:
+    """Same linkage job at num_cpus=8 vs 32 in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        proc = subprocess.run(
+            [sys.executable, __file__, "--linkage-only"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(__file__),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    r8, r32 = results[8], results[32]
+    speedup = r8["queries"]["linkage"] / r32["queries"]["linkage"]
+    efficiency = speedup / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "linkage throughput scaling 8→32 CPUs",
+                "value": round(efficiency, 3),
+                "unit": "efficiency",
+                "sf": _sf(sf_dir),
+                "docs_per_sec_8": r8["docs_per_sec"],
+                "docs_per_sec_32": r32["docs_per_sec"],
+                "pairs_per_sec_8": r8["pairs_per_sec"],
+                "pairs_per_sec_32": r32["pairs_per_sec"],
+                "speedup": round(speedup, 3),
+                "efficiency": round(efficiency, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

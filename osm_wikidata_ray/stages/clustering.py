@@ -6,16 +6,22 @@ Two shuffles (SURVEY.md §7.3):
      all of them (reference filter_candidates_more, matcher.py:1473-1475) and
      already-tagged objects are reported, not emitted (matcher.py:1477-1479).
   2. connected components over accepted pairs via iterative min-label
-     propagation (distributed union-find).  With the reference's 1:1 filters
-     components are size 2 and converge in one round, but the algorithm is
-     general: O(log D) rounds for diameter-D components, each round a
-     hash-join + groupby-min — all Ray Data ops, no driver-side graph.
+     propagation (distributed union-find), expressed join-free: each round
+     unions the adjacency table with the label table and runs ONE
+     groupby(node) that both picks up the node's current label and fans it
+     out to neighbors, followed by a groupby-min.  Labels only decrease, so
+     a cheap per-round label-multiset checksum detects convergence.  With
+     the reference's 1:1 filters components are size 2 and converge in one
+     round; general graphs take O(log diameter) rounds.
 """
 
 from __future__ import annotations
 
+import zlib
+
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -46,36 +52,10 @@ def accepted_pairs(resolved: "ray.data.Dataset") -> "ray.data.Dataset":
     return resolved.filter(expr="accepted == True")
 
 
-def _edges_to_labels(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Initial labels: every node labels itself."""
+def _pairs_to_adjacency(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Accepted pairs → symmetric adjacency rows (node, nbr)."""
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        qids = batch.column("qid").to_pylist()
-        uids = [
-            f"{t}/{i}"
-            for t, i in zip(
-                batch.column("osm_type").to_pylist(), batch.column("osm_id").to_pylist()
-            )
-        ]
-        nodes = qids + uids
-        return pa.table({"node": nodes, "label": nodes})
-
-    return pairs.map_batches(init_labels, batch_format="pyarrow")
-
-
-def connected_components(
-    pairs: "ray.data.Dataset",
-    max_rounds: int = 5,
-    num_partitions: int = 64,
-) -> "ray.data.Dataset":
-    """(node, cluster_id) via min-label propagation over accepted pairs.
-
-    Scaling assumptions documented: components here are tiny (1:1 pairs), so
-    rounds converge immediately; for general graphs rounds = O(log diameter).
-    Each round: edges ⋈ labels (hash join on node) → messages → groupby-min.
-    """
-
-    def to_edges(batch: pa.Table) -> pa.Table:
+    def to_adj(batch: pa.Table) -> pa.Table:
         u = batch.column("qid").to_pylist()
         v = [
             f"{t}/{i}"
@@ -83,52 +63,99 @@ def connected_components(
                 batch.column("osm_type").to_pylist(), batch.column("osm_id").to_pylist()
             )
         ]
-        return pa.table({"u": u, "v": v})
+        return pa.table({"node": u + v, "nbr": v + u})
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    labels = _edges_to_labels(pairs).groupby("node").min("label")
-    labels = labels.map_batches(
-        lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
-    ).materialize()
+    return pairs.map_batches(to_adj, batch_format="pyarrow")
 
+
+def _propagate(group: pd.DataFrame) -> pd.DataFrame:
+    """One node's group = its label rows (nbr == "") + adjacency rows.
+
+    Emits the node's min label to itself and every neighbor."""
+    labels = group.loc[group["nbr"] == "", "label"]
+    if labels.empty:  # node with edges but no label yet (first round)
+        label = group["node"].iloc[0]
+    else:
+        label = labels.min()
+    nbrs = group.loc[group["nbr"] != "", "nbr"]
+    nodes = [group["node"].iloc[0], *nbrs.tolist()]
+    return pd.DataFrame({"node": nodes, "label": [label] * len(nodes)})
+
+
+def _label_checksum(labels: "ray.data.Dataset") -> int:
+    """Order-insensitive multiset checksum of (node, label) rows.
+
+    Labels only decrease under min-propagation, so equal checksums between
+    rounds ⟺ converged."""
+
+    def crc(batch: pa.Table) -> pa.Table:
+        total = sum(
+            zlib.crc32(f"{n}\x1f{l}".encode())
+            for n, l in zip(
+                batch.column("node").to_pylist(), batch.column("label").to_pylist()
+            )
+        )
+        return pa.table({"crc": pa.array([total], pa.int64())})
+
+    parts = labels.map_batches(crc, batch_format="pyarrow")
+    return int(parts.sum("crc") or 0)
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    max_rounds: int = 8,
+    num_partitions: int | None = None,  # kept for API compat; unused
+) -> "ray.data.Dataset":
+    """(node, cluster_id) labels via join-free min-label propagation."""
+    adj = _pairs_to_adjacency(pairs).materialize()
+
+    # initial labels: every node labels itself
+    labels = adj.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "nbr": pa.array([""] * len(b), pa.string()),
+             "label": b.column("node")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    prev_crc: int | None = None
     for _ in range(max_rounds):
-        # label of u shipped to v and vice versa
-        lu = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("u",), right_on=("node",),
-        ).map_batches(
-            lambda b: pa.table({"node": b.column("v"), "label": b.column("label")}),
+        combined = adj.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "nbr": b.column("nbr"),
+                 "label": pa.array([""] * len(b), pa.string())}
+            ),
             batch_format="pyarrow",
+        ).union(
+            labels.map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"),
+                     "nbr": pa.array([""] * len(b), pa.string()),
+                     "label": b.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
         )
-        lv = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("v",), right_on=("node",),
-        ).map_batches(
-            lambda b: pa.table({"node": b.column("u"), "label": b.column("label")}),
-            batch_format="pyarrow",
-        )
-        new_labels = (
-            labels.union(lu, lv)
-            .groupby("node")
+        msgs = combined.groupby("node").map_groups(_propagate, batch_format="pandas")
+        labels = (
+            msgs.groupby("node")
             .min("label")
             .map_batches(
-                lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
+                lambda b: pa.table(
+                    {"node": b.column("node"), "label": b.column("min(label)")}
+                ),
+                batch_format="pyarrow",
             )
             .materialize()
         )
-        # convergence: stop when no label changed this round
-        changed = (
-            new_labels.join(
-                labels, join_type="inner", num_partitions=num_partitions,
-                on=("node",), right_on=("node",), right_suffix="_prev",
-            )
-            .filter(expr="label != label_prev")
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        crc = _label_checksum(labels)
+        if crc == prev_crc:
             break
+        prev_crc = crc
+
     return labels.map_batches(
-        lambda b: pa.table({"node": b.column("node"), "cluster_id": b.column("label")}),
+        lambda b: pa.table(
+            {"node": b.column("node"), "cluster_id": b.column("label")}
+        ),
         batch_format="pyarrow",
     )

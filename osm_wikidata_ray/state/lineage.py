@@ -52,7 +52,9 @@ class Checkpoints:
             return factory()
 
         stage_dir = self.root / name
-        manifest_path = stage_dir / MANIFEST
+        # manifest lives NEXT TO the stage dir so read_parquet(stage_dir)
+        # sees only parquet files
+        manifest_path = self.root / f"{name}.{MANIFEST}"
         if manifest_path.exists():
             manifest = json.loads(manifest_path.read_text())
             if manifest.get("complete"):
@@ -89,5 +91,5 @@ class Checkpoints:
     def stage_state(self, name: str) -> dict[str, Any] | None:
         if not self.root:
             return None
-        p = self.root / name / MANIFEST
+        p = self.root / f"{name}.{MANIFEST}"
         return json.loads(p.read_text()) if p.exists() else None

@@ -152,5 +152,5 @@ def test_resume_skips_completed_stages(ray_session, corpus, tmp_path):
     ]
     stages = [e for e in events if e["event"] == "resume-skip"]
     assert {e["stage"] for e in stages} >= {"exploded", "candidates", "resolved"}
-    manifest = json.loads(open(f"{ck}/candidates/MANIFEST.json").read())
+    manifest = json.loads(open(f"{ck}/candidates.MANIFEST.json").read())
     assert manifest["complete"] and manifest["partitions"]
