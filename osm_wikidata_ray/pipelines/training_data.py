@@ -409,32 +409,44 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> "ray.data.Dataset"
 
 
 def dedup_embedding_cosine(
-    sf_dir: str, threshold: float = 0.95, n_planes: int = 12
+    sf_dir: str, threshold: float = 0.45, n_tables: int = 4, planes_per_table: int = 6
 ) -> "ray.data.Dataset":
-    """Embedding near-dup via random-hyperplane LSH buckets + in-bucket
-    exact cosine (the scale path: buckets bound the quadratic step)."""
-    rng = np.random.RandomState(7)
-    planes_ref = None
+    """Embedding near-dup via multi-table random-hyperplane LSH + in-bucket
+    exact cosine (the scale path: buckets bound the quadratic step; more
+    tables trade shuffle volume for recall).  Deterministic planes (seed 7)."""
 
     def sigs_factory():
         class Sigs:
             def __init__(self) -> None:
-                self.planes = None
+                self.planes = None  # lazily sized to the embedding dim
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float32)
                 if self.planes is None:
                     self.planes = np.random.RandomState(7).standard_normal(
-                        (vecs.shape[1], n_planes)
+                        (vecs.shape[1], n_tables * planes_per_table)
                     ).astype(np.float32)
                 bits = (vecs @ self.planes) > 0
-                keys = [
-                    "".join("1" if b else "0" for b in row) for row in bits
-                ]
+                keys_per_table: list[list[str]] = []
+                for t in range(n_tables):
+                    seg = bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+                    keys_per_table.append(
+                        [f"{t}:" + "".join("1" if b else "0" for b in row) for row in seg]
+                    )
+                n = len(vecs)
                 return pa.table(
-                    {"bucket": pa.array(keys),
-                     "vec_id": batch.column("vec_id"),
-                     "embedding": batch.column("embedding")}
+                    {
+                        "bucket": pa.array(
+                            [keys_per_table[t][i] for i in range(n) for t in range(n_tables)]
+                        ),
+                        "vec_id": pa.array(
+                            [batch.column("vec_id")[i].as_py() for i in range(n) for _ in range(n_tables)],
+                            pa.int64(),
+                        ),
+                        "embedding": pa.array(
+                            [batch.column("embedding")[i].as_py() for i in range(n) for _ in range(n_tables)]
+                        ),
+                    }
                 )
 
         return Sigs

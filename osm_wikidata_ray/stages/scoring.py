@@ -87,13 +87,16 @@ class ScorerReducer:
         df = pd.DataFrame(out)
         if df.empty:
             return _empty_candidates()
+        # tri-state address_match: nullable boolean keeps a stable Arrow
+        # schema across batches (all-None batches otherwise type as null)
+        df["address_match"] = pd.array(out["address_match"], dtype="boolean")
         return df
 
 
 def _empty_candidates() -> pd.DataFrame:
     dtypes = {
         "qid": "object", "osm_type": "object", "osm_id": "int64",
-        "dist": "float64", "identifier_match": "bool", "address_match": "object",
+        "dist": "float64", "identifier_match": "bool", "address_match": "boolean",
         "name_match": "object", "matching_tags": "object", "chosen": "bool",
         "note": "object", "already_tagged": "bool",
         "wd_doc_id": "object", "wd_checksum": "object",
