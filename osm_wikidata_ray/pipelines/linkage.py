@@ -21,6 +21,7 @@ from typing import Any
 import ray
 
 from ..stages import blocking, clustering, parse, scoring
+from ..util import default_partitions
 from ..state.lineage import Checkpoints
 
 
@@ -52,6 +53,7 @@ def run_linkage(
     salt_factor: int = blocking.DEFAULT_SALT_FACTOR,
     scorer_concurrency: int | tuple[int, int] = (1, 8),
     with_clusters: bool = True,
+    general_clustering: bool = False,
     ruleset_kwargs: dict[str, Any] | None = None,
 ) -> LinkageResult:
     """Assemble the full linkage pipeline over a docs Dataset."""
@@ -78,10 +80,10 @@ def run_linkage(
         )
 
     def build_candidates() -> "ray.data.Dataset":
-        pairs = exploded.groupby("block_key").map_groups(
+        pairs = exploded.groupby("block_key", num_partitions=default_partitions()).map_groups(
             blocking.emit_pairs, batch_format="pandas"
         )
-        return pairs.groupby("qid").map_groups(
+        return pairs.groupby("qid", num_partitions=default_partitions()).map_groups(
             scoring.ScorerReducer,
             fn_constructor_args=(ruleset_kwargs,),
             batch_format="pandas",
@@ -101,9 +103,14 @@ def run_linkage(
 
     clusters = None
     if with_clusters:
-        clusters = ckpt.run(
-            "clusters", lambda: clustering.connected_components(accepted)
+        # 1:1-gated pairs are disjoint → closed-form clusters; the iterative
+        # union-find runs only when a general pair graph is requested
+        builder = (
+            clustering.connected_components
+            if general_clustering
+            else clustering.clusters_from_disjoint_pairs
         )
+        clusters = ckpt.run("clusters", lambda: builder(accepted))
 
     return LinkageResult(
         candidates=candidates,

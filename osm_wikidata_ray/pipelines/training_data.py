@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from ..util import default_partitions, list_column_to_matrix
+
 PUNCT_RE = "[^a-zA-Z0-9 ]"  # shared with the SQL oracle — keep in sync
 _STOPWORDS = (
     "the of and a an in on to is are was were for with as by at it this that "
@@ -75,7 +77,7 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "documents", ["source", "text"]).map_batches(
         per_doc, batch_format="pyarrow"
     )
-    return ds.groupby("source").sum("n_tokens")
+    return ds.groupby("source", num_partitions=default_partitions()).sum("n_tokens")
 
 
 def quality_score(sf_dir: str) -> "ray.data.Dataset":
@@ -173,7 +175,7 @@ def doc_fingerprint(sf_dir: str, window: int = 8, keep: int = 4) -> "ray.data.Da
 def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
     """Exact dedup: first doc_id per text (hash-partition groupby-min)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    survivors = ds.groupby("text").min("doc_id")
+    survivors = ds.groupby("text", num_partitions=default_partitions()).min("doc_id")
     return survivors.map_batches(
         lambda b: pa.table({"doc_id": b.column("min(doc_id)")}), batch_format="pyarrow"
     )
@@ -256,11 +258,11 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
                 out_b.append(max(a, b))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    pairs = minhash_bands(sf_dir).groupby("band_key").map_groups(
+    pairs = minhash_bands(sf_dir).groupby("band_key", num_partitions=default_partitions()).map_groups(
         bucket_pairs, batch_format="pandas"
     )
     # dedupe pairs discovered in multiple bands
-    return pairs.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
+    return pairs.groupby(["doc_a", "doc_b"], num_partitions=default_partitions()).count().select_columns(["doc_a", "doc_b"])
 
 
 def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
@@ -349,10 +351,10 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
     pairs = (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(sigs, batch_format="pyarrow")
-        .groupby("seg_key")
+        .groupby("seg_key", num_partitions=default_partitions())
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
+    return pairs.groupby(["doc_a", "doc_b"], num_partitions=default_partitions()).count().select_columns(["doc_a", "doc_b"])
 
 
 # --- embeddings: similarity search + near-dup ---
@@ -376,11 +378,11 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> "ray.data.Dataset"
             self.q_ids, self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
             qn = self.q / (np.linalg.norm(self.q, axis=1, keepdims=True) + 1e-30)
             vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
             sims = qn @ vn.T  # (n_queries, batch)
-            ids = np.asarray(batch.column("vec_id").to_pylist())
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             out = {"query_id": [], "vec_id": [], "cos": []}
             top = min(k, sims.shape[1])
             part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
@@ -405,7 +407,7 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> "ray.data.Dataset"
         g["cos"] = g["cos"].round(4)
         return g
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id", num_partitions=8).map_groups(final_topk, batch_format="pandas")
 
 
 def dedup_embedding_cosine(
@@ -421,7 +423,7 @@ def dedup_embedding_cosine(
                 self.planes = None  # lazily sized to the embedding dim
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float32)
+                vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float32)
                 if self.planes is None:
                     self.planes = np.random.RandomState(7).standard_normal(
                         (vecs.shape[1], n_tables * planes_per_table)
@@ -471,10 +473,10 @@ def dedup_embedding_cosine(
     pairs = (
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(sigs_factory(), batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("bucket")
+        .groupby("bucket", num_partitions=default_partitions())
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["vec_a", "vec_b"]).max("cos")
+    return pairs.groupby(["vec_a", "vec_b"], num_partitions=default_partitions()).max("cos")
 
 
 # --- relational reference queries (oracle-checked operator proofs) ---
@@ -501,7 +503,7 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(derive, batch_format="pyarrow")
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    agg = ds.groupby(["l_returnflag", "l_linestatus"], num_partitions=8).aggregate(
         *_sum_cols(["l_quantity", "l_extendedprice", "disc_price"])
     )
 
@@ -565,7 +567,7 @@ def top_customers(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         Enrich, batch_format="pyarrow", concurrency=(1, 4)
     )
-    agg = ds.groupby(["c_name", "n_name"]).sum("o_totalprice")
+    agg = ds.groupby(["c_name", "n_name"], num_partitions=default_partitions()).sum("o_totalprice")
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -586,7 +588,7 @@ def top_customers(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
 def events_by_type(sf_dir: str) -> "ray.data.Dataset":
     """Event-stream aggregate: count + value sum per event type."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    agg = ds.groupby("event_type").aggregate(
+    agg = ds.groupby("event_type", num_partitions=8).aggregate(
         *(_sum_cols(["value"]))
     )
 

@@ -523,3 +523,41 @@ def write_corpus_parquet(
 
 def corpus_checksums(docs: list[dict[str, Any]]) -> dict[str, str]:
     return {d["doc_id"]: span_checksum(d["spans"]) for d in docs}
+
+
+DOCS_PER_SCENARIO = 2.6  # empirical mean incl. the hot-key family
+
+
+def synth_docs_dataset(
+    n_docs: int, seed: int = SEED, parallelism: int = 64
+) -> "Any":
+    """Distributed deterministic corpus: scenario ids fan out as a Ray
+    Dataset and each task generates its own scenarios — no driver-side
+    materialization, which is what makes 10^12-doc generation feasible
+    (generation is pure (seed, index))."""
+    import pyarrow as pa
+    import ray
+
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    schema = pa.schema([("doc_id", pa.string()), ("spans", span_type)])
+
+    def gen(batch: dict) -> pa.Table:
+        rows = []
+        for idx in batch["id"]:
+            s = generate_scenario(int(idx), seed)
+            rows.extend({"doc_id": d, "spans": sp} for d, sp in s.docs)
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    n_scenarios = max(1, int(n_docs / DOCS_PER_SCENARIO))
+    return ray.data.range(n_scenarios, override_num_blocks=parallelism).map_batches(
+        gen, batch_format="numpy"
+    )

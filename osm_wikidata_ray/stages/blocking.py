@@ -65,7 +65,7 @@ def detect_hot_keys(
     """
     counts = (
         exploded.select_columns(["block_key"])
-        .groupby("block_key")
+        .groupby("block_key", num_partitions=64)
         .count()
         .filter(lambda row: row["count()"] >= threshold)
     )

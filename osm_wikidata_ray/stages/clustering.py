@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from ..util import default_partitions
+
 
 def resolve_conflicts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
     """chosen candidates → accepted pairs after the cross-item 1:1 gate."""
@@ -43,7 +45,7 @@ def resolve_conflicts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
             out["note"] = "candidate already tagged"
         return out
 
-    return chosen.groupby(["osm_type", "osm_id"]).map_groups(
+    return chosen.groupby(["osm_type", "osm_id"], num_partitions=default_partitions()).map_groups(
         gate, batch_format="pandas"
     )
 
@@ -101,6 +103,30 @@ def _label_checksum(labels: "ray.data.Dataset") -> int:
     return int(parts.sum("crc") or 0)
 
 
+def clusters_from_disjoint_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Transitive closure fast path for 1:1-gated pairs.
+
+    After resolve_conflicts each qid appears in at most one accepted pair and
+    each OSM object in at most one (the gate drops every multiply-claimed
+    object, matcher.py:1473-1475), so components are exactly the pairs and
+    cluster_id = min(endpoint) — zero shuffles, no iteration.  This is an
+    invariant of the gate, not an assumption; the general algorithm below
+    handles arbitrary pair graphs."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        u = batch.column("qid").to_pylist()
+        v = [
+            f"{t}/{i}"
+            for t, i in zip(
+                batch.column("osm_type").to_pylist(), batch.column("osm_id").to_pylist()
+            )
+        ]
+        labels = [min(a, b) for a, b in zip(u, v)]
+        return pa.table({"node": u + v, "cluster_id": labels + labels})
+
+    return pairs.map_batches(emit, batch_format="pyarrow")
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     max_rounds: int = 8,
@@ -136,9 +162,9 @@ def connected_components(
                 batch_format="pyarrow",
             )
         )
-        msgs = combined.groupby("node").map_groups(_propagate, batch_format="pandas")
+        msgs = combined.groupby("node", num_partitions=default_partitions()).map_groups(_propagate, batch_format="pandas")
         labels = (
-            msgs.groupby("node")
+            msgs.groupby("node", num_partitions=default_partitions())
             .min("label")
             .map_batches(
                 lambda b: pa.table(

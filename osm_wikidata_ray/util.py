@@ -1,0 +1,27 @@
+"""Shared Ray-side helpers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def default_partitions(lo: int = 8, hi: int = 64) -> int:
+    """Shuffle partition count sized to the cluster (groupby default
+    over-partitions small clusters; see bench notes)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus))
+
+
+def list_column_to_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Zero-copy-ish list<float> column → (n, dim) float32 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
