@@ -80,14 +80,31 @@ def run_linkage(
         )
 
     def build_candidates() -> "ray.data.Dataset":
-        pairs = exploded.groupby("block_key", num_partitions=default_partitions()).map_groups(
-            blocking.emit_pairs, batch_format="pandas"
+        # bucketed grouping: hash keys into ~4×CPU buckets and run the
+        # per-key loops inside each bucket (pandas groupby) — same shuffle
+        # semantics as groupby(key), ~100× fewer group-function invocations
+        n_parts = default_partitions()
+        n_buckets = n_parts * 4
+        pairs = (
+            exploded.map_batches(
+                lambda b: blocking.add_bucket(b, "block_key", n_buckets),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket", num_partitions=n_parts)
+            .map_groups(blocking.emit_pairs_bucket, batch_format="pandas")
         )
-        return pairs.groupby("qid", num_partitions=default_partitions()).map_groups(
-            scoring.ScorerReducer,
-            fn_constructor_args=(ruleset_kwargs,),
-            batch_format="pandas",
-            concurrency=scorer_concurrency,
+        return (
+            pairs.map_batches(
+                lambda b: blocking.add_bucket(b, "qid", n_buckets),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket", num_partitions=n_parts)
+            .map_groups(
+                scoring.ScorerReducer,
+                fn_constructor_args=(ruleset_kwargs,),
+                batch_format="pandas",
+                concurrency=scorer_concurrency,
+            )
         )
 
     candidates = ckpt.run("candidates", build_candidates)

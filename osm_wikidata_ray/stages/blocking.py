@@ -115,7 +115,27 @@ class Salter:
         )
 
 
-def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+def add_bucket(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
+    """Stable hash-bucket column — lets group processing run per *bucket*
+    (P invocations) instead of per group (per-group map_groups overhead
+    dominated the shuffle stages; see bench notes).  All rows of one key
+    land in one bucket, so semantics match a per-key groupby."""
+    vals = batch.column(column).to_pylist()
+    buckets = pa.array([zlib.crc32(v.encode()) % n_buckets for v in vals], pa.int32())
+    return batch.append_column("bucket", buckets)
+
+
+def emit_pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    """One hash bucket of block keys → pair rows (pandas groupby inside)."""
+    outs = [
+        _emit_pairs_for_key(g)
+        for _, g in bucket.groupby("block_key", sort=False)
+    ]
+    outs = [o for o in outs if o is not None and len(o)]
+    return pd.concat(outs, ignore_index=True) if outs else _EMPTY_PAIRS.copy()
+
+
+def _emit_pairs_for_key(group: pd.DataFrame) -> pd.DataFrame | None:
     """Within one block-key group: WD×OSM pairing under the distance gate.
 
     Vectorized haversine per WD row; per (wd, key) cap of CANDIDATE_LIMIT
@@ -125,7 +145,7 @@ def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
     wd = group[group["side"] == "wd"]
     osm = group[group["side"] == "osm"]
     if wd.empty or osm.empty:
-        return _EMPTY_PAIRS.copy()
+        return None
 
     osm_lat = osm["lat"].to_numpy()
     osm_lon = osm["lon"].to_numpy()

@@ -32,12 +32,21 @@ CANDIDATE_COLUMNS = [
 
 
 class ScorerReducer:
-    """Callable class for map_groups: one group = all pairs of one item."""
+    """Callable class for bucketed map_groups: each invocation receives one
+    hash bucket of qids and loops items with a pandas groupby (cheap C
+    slicing) — the rule tables compile once per actor in __init__."""
 
     def __init__(self, ruleset_kwargs: dict[str, Any] | None = None) -> None:
         self.ruleset = RuleSet(**(ruleset_kwargs or {}))
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            self.score_item(g) for _, g in bucket.groupby("qid", sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else _empty_candidates()
+
+    def score_item(self, group: pd.DataFrame) -> pd.DataFrame:
         item = json.loads(group["wd_payload"].iloc[0])
 
         # dedupe pairs found under multiple block keys; global top-50 by
@@ -91,6 +100,8 @@ class ScorerReducer:
         # schema across batches (all-None batches otherwise type as null)
         df["address_match"] = pd.array(out["address_match"], dtype="boolean")
         return df
+
+    # group payloads don't carry the bucket column forward
 
 
 def _empty_candidates() -> pd.DataFrame:
