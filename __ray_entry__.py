@@ -99,6 +99,12 @@ def _linkage_span_roundtrip(sf_dir: str):
     return verify_spans(_synth_docs_ds(sf_dir)).sort(["doc_id"])
 
 
+def _linkage_lang_counts(sf_dir: str):
+    from osm_wikidata_ray.pipelines.linkage import language_counts
+
+    return language_counts(_synth_docs_ds(sf_dir)).sort(["lang"])
+
+
 def _media_features(sf_dir: str):
     from osm_wikidata_ray.pipelines.multimodal import media_features
 
@@ -148,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q_top_customers": td.top_customers,
         "q_events_by_type": lambda sf: td.events_by_type(sf).sort(["event_type"]),
+        "q_sessionize": lambda sf: td.sessionize_events(sf).sort(
+            ["user_id", "session_no"]
+        ),
+        "linkage_lang_counts": _linkage_lang_counts,
     }
 
 
@@ -216,5 +226,27 @@ def oracle_sql() -> dict[str, str]:
         "q_events_by_type": """
             SELECT event_type, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_sessionize": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, value,
+                       (SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ))::BIGINT AS session_no
+                FROM ordered
+            )
+            SELECT user_id, session_no,
+                   COUNT(*)::BIGINT AS n_events,
+                   round(SUM(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_no
+            ORDER BY user_id, session_no
         """,
     }

@@ -45,6 +45,16 @@ def _init_ray(num_cpus: int) -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
 
+def _warmup() -> None:
+    """Prime worker processes/imports so timings measure the pipeline, not
+    cluster cold-start."""
+    import ray
+
+    ray.data.range(10_000, override_num_blocks=32).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
 def run_linkage_bench(sf_dir: str, n_docs: int | None = None) -> dict:
     """Headline: full linkage pipeline over the synthesized doc corpus."""
     import ray
@@ -55,6 +65,7 @@ def run_linkage_bench(sf_dir: str, n_docs: int | None = None) -> dict:
     sf = _sf(sf_dir)
     n = n_docs or max(2000, int(120_000 * sf))
     ds = synth_docs_dataset(n, parallelism=64)
+    _warmup()
 
     import ray as _ray
 
@@ -150,7 +161,7 @@ def run_scaling(sf_dir: str) -> None:
     Uses a 2.5× corpus so per-run fixed costs (session + stage scheduling,
     ~15 s) don't dominate the parallel fraction — the cluster-size criterion
     is about throughput scaling, measured on the same input at both sizes."""
-    n_docs = max(8000, int(2 * 120_000 * _sf(sf_dir)))
+    n_docs = max(8000, int(4 * 120_000 * _sf(sf_dir)))
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)

@@ -145,3 +145,34 @@ def verify_spans(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     through parse→pairs proves (kind, text, media_ref, order) equality
     end-to-end (BASELINE.md per-row invariant)."""
     return docs.map_batches(parse.checksum_docs, batch_format="pyarrow")
+
+
+def language_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-language Wikidata label counts over the doc corpus (reference
+    place.py:1078-1115 language stats) — partial counts in the map, tiny
+    final groupby."""
+    import pyarrow as pa
+
+    from ..util import default_partitions
+
+    def count_langs(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter[str] = Counter()
+        for spans in batch.column("spans").to_pylist():
+            for s in spans:
+                if s["kind"] != "name":
+                    continue
+                source, lang, _value = s["text"].split("\t", 2)
+                if source == "label" and lang:
+                    counts[lang] += 1
+        return pa.table(
+            {"lang": list(counts.keys()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    return (
+        docs.map_batches(count_langs, batch_format="pyarrow")
+        .groupby("lang", num_partitions=8)
+        .sum("n")
+    )

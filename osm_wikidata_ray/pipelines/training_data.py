@@ -601,3 +601,43 @@ def events_by_type(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Sessionized event aggregate: per-user sessions split on >gap idle
+    (the windowed-aggregate pattern: hash-bucket by user, vectorized
+    sort+diff+cumsum inside each bucket — no per-event Python loop)."""
+    from ..stages.blocking import add_bucket
+
+    n_parts = default_partitions()
+
+    def add_user_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "user_key", pc.cast(batch.column("user_id"), pa.string())
+        )
+        return add_bucket(batch, "user_key", n_parts * 4)
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessionize(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap_break = df["ts"].diff() > gap
+        session_start = new_user | gap_break
+        # per-user session ordinal starting at 0
+        df = df.assign(_start=session_start.astype("int64"))
+        df["session_no"] = df.groupby("user_id")["_start"].cumsum() - 1
+        agg = (
+            df.groupby(["user_id", "session_no"])
+            .agg(n_events=("event_id", "count"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        agg["sum_value"] = agg["sum_value"].round(2)
+        return agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return (
+        ds.map_batches(add_user_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=n_parts)
+        .map_groups(sessionize, batch_format="pandas")
+    )
