@@ -161,7 +161,7 @@ def run_scaling(sf_dir: str) -> None:
     Uses a 2.5× corpus so per-run fixed costs (session + stage scheduling,
     ~15 s) don't dominate the parallel fraction — the cluster-size criterion
     is about throughput scaling, measured on the same input at both sizes."""
-    n_docs = max(8000, int(4 * 120_000 * _sf(sf_dir)))
+    n_docs = max(8000, int(12 * 120_000 * _sf(sf_dir)))
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)

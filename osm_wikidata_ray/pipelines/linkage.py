@@ -59,13 +59,19 @@ def run_linkage(
     """Assemble the full linkage pipeline over a docs Dataset."""
     ckpt = Checkpoints(checkpoint_dir)
 
-    def build_exploded() -> "ray.data.Dataset":
-        records = docs.map_batches(parse.parse_docs, batch_format="pyarrow")
-        return records.map_batches(blocking.explode_keys, batch_format="pyarrow")
+    # parsed records (with payloads) are consumed by three downstream paths
+    # (key explosion, OSM payload attach, WD payload attach) — checkpoint or
+    # pin once; payloads never enter the blocking shuffle
+    records = ckpt.run(
+        "records",
+        lambda: docs.map_batches(parse.parse_docs, batch_format="pyarrow"),
+    )
+    if checkpoint_dir is None:
+        records = records.materialize()
 
-    # The count pass and the pairing pass both consume the exploded table;
-    # checkpoint (or object-store materialize) so parse runs once.
-    exploded = ckpt.run("exploded", build_exploded)
+    exploded = records.select_columns(
+        ["block_keys", *blocking.EXPLODED_COLUMNS[1:]]
+    ).map_batches(blocking.explode_keys, batch_format="pyarrow")
     if checkpoint_dir is None:
         exploded = exploded.materialize()
 
@@ -84,27 +90,24 @@ def run_linkage(
         # per-key loops inside each bucket (pandas groupby) — same shuffle
         # semantics as groupby(key), ~100× fewer group-function invocations
         n_parts = default_partitions()
-        n_buckets = n_parts * 4
-        pairs = (
+        thin_pairs = (
             exploded.map_batches(
-                lambda b: blocking.add_bucket(b, "block_key", n_buckets),
+                lambda b: blocking.add_bucket(b, "block_key", n_parts * 4),
                 batch_format="pyarrow",
             )
             .groupby("bucket", num_partitions=n_parts)
             .map_groups(blocking.emit_pairs_bucket, batch_format="pandas")
         )
-        return (
-            pairs.map_batches(
-                lambda b: blocking.add_bucket(b, "qid", n_buckets),
-                batch_format="pyarrow",
-            )
-            .groupby("bucket", num_partitions=n_parts)
-            .map_groups(
-                scoring.ScorerReducer,
-                fn_constructor_args=(ruleset_kwargs,),
-                batch_format="pandas",
-                concurrency=scorer_concurrency,
-            )
+        # shuffle stages are barriers; materializing between them keeps the
+        # streaming executor from interleaving two all-to-all exchanges
+        # (pair tables are small relative to the input)
+        if checkpoint_dir is None:
+            thin_pairs = thin_pairs.materialize()
+        attached = scoring.attach_osm_payloads(thin_pairs, records, n_parts)
+        if checkpoint_dir is None:
+            attached = attached.materialize()
+        return scoring.score_attached_pairs(
+            attached, records, n_parts, scorer_concurrency, ruleset_kwargs
         )
 
     candidates = ckpt.run("candidates", build_candidates)

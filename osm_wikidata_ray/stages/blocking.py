@@ -32,9 +32,12 @@ NEARBY_NODE_M = 10.0  # nearby-node radius, matcher.py:241
 DEFAULT_HOT_THRESHOLD = 5_000
 DEFAULT_SALT_FACTOR = 16
 
+# the blocking shuffle is THIN: payloads/doc ids stay out of the key
+# explosion and are attached to surviving pairs afterwards (payload ships
+# once per record instead of once per (record, key) — the difference between
+# ~40 MB and ~1 GB shuffled per 50k docs; see stages/scoring.attach flow)
 EXPLODED_COLUMNS = [
-    "block_key", "side", "entity_id", "lat", "lon",
-    "max_dist_m", "is_point", "payload", "doc_id", "span_checksum",
+    "block_key", "side", "entity_id", "lat", "lon", "max_dist_m", "is_point",
 ]
 
 
@@ -126,13 +129,28 @@ def add_bucket(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
 
 
 def emit_pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-    """One hash bucket of block keys → pair rows (pandas groupby inside)."""
+    """One hash bucket of block keys → thin pair rows, deduped within the
+    bucket (pandas groupby inside).
+
+    Most keys exist on only one side and can never pair — a vectorized
+    semi-filter drops them before the per-key loop (typically ~90% of
+    groups)."""
+    is_wd = bucket["side"].to_numpy() == "wd"
+    keys = bucket["block_key"]
+    both = set(keys[is_wd].unique()) & set(keys[~is_wd].unique())
+    if not both:
+        return _EMPTY_PAIRS.copy()
+    bucket = bucket[keys.isin(both)]
     outs = [
         _emit_pairs_for_key(g)
         for _, g in bucket.groupby("block_key", sort=False)
     ]
     outs = [o for o in outs if o is not None and len(o)]
-    return pd.concat(outs, ignore_index=True) if outs else _EMPTY_PAIRS.copy()
+    if not outs:
+        return _EMPTY_PAIRS.copy()
+    pairs = pd.concat(outs, ignore_index=True)
+    # a pair discovered under several keys of this bucket is scored once
+    return pairs.drop_duplicates(["qid", "osm_uid"], ignore_index=True)
 
 
 def _emit_pairs_for_key(group: pd.DataFrame) -> pd.DataFrame | None:
@@ -142,23 +160,24 @@ def _emit_pairs_for_key(group: pd.DataFrame) -> pd.DataFrame | None:
     nearest (the union-then-cap at the scorer reproduces the reference's
     global `order by dist limit 50`, matcher.py:306 — see stages/scoring).
     """
-    wd = group[group["side"] == "wd"]
-    osm = group[group["side"] == "osm"]
-    if wd.empty or osm.empty:
+    side = group["side"].to_numpy()
+    wd_mask = side == "wd"
+    if not wd_mask.any() or wd_mask.all():
         return None
+    lat = group["lat"].to_numpy()
+    lon = group["lon"].to_numpy()
+    ids = group["entity_id"].to_numpy()
+    max_dist = group["max_dist_m"].to_numpy()
+    is_point = group["is_point"].to_numpy()
 
-    osm_lat = osm["lat"].to_numpy()
-    osm_lon = osm["lon"].to_numpy()
-    osm_ids = osm["entity_id"].to_numpy()
-    osm_payloads = osm["payload"].to_numpy()
-    osm_is_point = osm["is_point"].to_numpy()
-    osm_doc_ids = osm["doc_id"].to_numpy()
-    osm_checksums = osm["span_checksum"].to_numpy()
+    osm_lat, osm_lon = lat[~wd_mask], lon[~wd_mask]
+    osm_ids = ids[~wd_mask]
+    osm_is_point = is_point[~wd_mask]
 
     out: dict[str, list] = {c: [] for c in _PAIR_COLUMNS}
-    for _, w in wd.iterrows():
-        dists = haversine_m(w["lat"], w["lon"], osm_lat, osm_lon)
-        mask = (dists <= w["max_dist_m"]) | (osm_is_point & (dists <= NEARBY_NODE_M))
+    for i in np.flatnonzero(wd_mask):
+        dists = haversine_m(lat[i], lon[i], osm_lat, osm_lon)
+        mask = (dists <= max_dist[i]) | (osm_is_point & (dists <= NEARBY_NODE_M))
         if not mask.any():
             continue
         idx = np.flatnonzero(mask)
@@ -166,20 +185,11 @@ def _emit_pairs_for_key(group: pd.DataFrame) -> pd.DataFrame | None:
             order = np.argsort(dists[idx], kind="stable")[:CANDIDATE_LIMIT]
             idx = idx[order]
         for j in idx:
-            out["qid"].append(w["entity_id"])
+            out["qid"].append(ids[i])
             out["osm_uid"].append(osm_ids[j])
             out["dist"].append(float(dists[j]))
-            out["wd_payload"].append(w["payload"])
-            out["osm_payload"].append(osm_payloads[j])
-            out["wd_doc_id"].append(w["doc_id"])
-            out["wd_checksum"].append(w["span_checksum"])
-            out["osm_doc_id"].append(osm_doc_ids[j])
-            out["osm_checksum"].append(osm_checksums[j])
     return pd.DataFrame(out)
 
 
-_PAIR_COLUMNS = [
-    "qid", "osm_uid", "dist", "wd_payload", "osm_payload",
-    "wd_doc_id", "wd_checksum", "osm_doc_id", "osm_checksum",
-]
+_PAIR_COLUMNS = ["qid", "osm_uid", "dist"]
 _EMPTY_PAIRS = pd.DataFrame({c: pd.Series(dtype="float64" if c == "dist" else "object") for c in _PAIR_COLUMNS})

@@ -1,20 +1,27 @@
-"""Scoring stage: per-item candidate scoring + reduction (actor pool).
+"""Scoring stage: payload attachment + per-item candidate scoring.
 
-groupby("qid").map_groups(ScorerReducer, concurrency=N) — the stateful stage
-of the pipeline.  Each actor compiles the rule tables once in __init__
-(SURVEY.md §2.3; the reference loads them as module globals per process,
-matcher/matcher.py:50-63,112-116) and then scores each item group: dedupe
-candidate rows discovered under multiple block keys, apply the global
-candidate cap, run the full veto cascade and per-item preference filters,
-and pick the single winning candidate.
+The blocking shuffle is thin (qid, osm_uid, dist); payloads attach to the
+surviving pairs afterwards so each record's payload crosses the wire once:
+
+  stage A  union(thin pairs ⊎ OSM records) hash-bucketed by osm id →
+           per-bucket pandas merge attaches osm_payload
+  stage B  union(stage-A pairs ⊎ WD records) hash-bucketed by qid →
+           ScorerReducer actors score each item group (rule tables compiled
+           once per actor in __init__; SURVEY.md §2.3)
+
+Both stages reuse the bucketed-groupby pattern (see blocking.add_bucket).
 """
 
 from __future__ import annotations
 
 import json
+import math
 from typing import Any
 
 import pandas as pd
+import pyarrow as pa
+
+import ray
 
 from ..rules.reduce import (
     CANDIDATE_LIMIT,
@@ -22,6 +29,7 @@ from ..rules.reduce import (
     score_item_candidates,
 )
 from ..rules.ruleset import RuleSet
+from .blocking import add_bucket
 
 CANDIDATE_COLUMNS = [
     "qid", "osm_type", "osm_id", "dist",
@@ -30,26 +38,163 @@ CANDIDATE_COLUMNS = [
     "wd_doc_id", "wd_checksum", "osm_doc_id", "osm_checksum",
 ]
 
+_REC_COLUMNS = ["entity_id", "payload", "doc_id", "span_checksum"]
+
+
+def _pairs_for_osm_union(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    return pa.table(
+        {
+            "join_key": batch.column("osm_uid"),
+            "kind": pa.array(["p"] * n),
+            "qid": batch.column("qid"),
+            "dist": batch.column("dist"),
+            "payload": pa.array([""] * n),
+            "doc_id": pa.array([""] * n),
+            "span_checksum": pa.array([""] * n),
+        }
+    )
+
+
+def _recs_for_union(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    return pa.table(
+        {
+            "join_key": batch.column("entity_id"),
+            "kind": pa.array(["r"] * n),
+            "qid": pa.array([""] * n),
+            "dist": pa.array([math.nan] * n, pa.float64()),
+            "payload": batch.column("payload"),
+            "doc_id": batch.column("doc_id"),
+            "span_checksum": batch.column("span_checksum"),
+        }
+    )
+
+
+def _attach_osm_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    recs = bucket.loc[bucket["kind"] == "r"].drop_duplicates("join_key")
+    pairs = bucket.loc[bucket["kind"] == "p"]
+    if pairs.empty or recs.empty:
+        return _EMPTY_ATTACHED.copy()
+    merged = pairs.merge(
+        recs[["join_key", "payload", "doc_id", "span_checksum"]],
+        on="join_key",
+        how="inner",
+        suffixes=("", "_rec"),
+    )
+    return pd.DataFrame(
+        {
+            "qid": merged["qid"],
+            "osm_uid": merged["join_key"],
+            "dist": merged["dist"],
+            "osm_payload": merged["payload_rec"],
+            "osm_doc_id": merged["doc_id_rec"],
+            "osm_checksum": merged["span_checksum_rec"],
+        }
+    )
+
+
+_EMPTY_ATTACHED = pd.DataFrame(
+    {
+        c: pd.Series(dtype="float64" if c == "dist" else "object")
+        for c in ["qid", "osm_uid", "dist", "osm_payload", "osm_doc_id", "osm_checksum"]
+    }
+)
+
+
+def attach_osm_payloads(
+    pairs: "ray.data.Dataset",
+    records: "ray.data.Dataset",
+    n_parts: int,
+) -> "ray.data.Dataset":
+    """Thin pairs + OSM records → pairs carrying osm payloads (stage A)."""
+    osm_recs = records.filter(expr="side == 'osm'").select_columns(_REC_COLUMNS)
+    unioned = pairs.map_batches(_pairs_for_osm_union, batch_format="pyarrow").union(
+        osm_recs.map_batches(_recs_for_union, batch_format="pyarrow")
+    )
+    return (
+        unioned.map_batches(
+            lambda b: add_bucket(b, "join_key", n_parts * 4), batch_format="pyarrow"
+        )
+        .groupby("bucket", num_partitions=n_parts)
+        .map_groups(_attach_osm_bucket, batch_format="pandas")
+    )
+
+
+def _pairs_for_wd_union(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    return pa.table(
+        {
+            "join_key": batch.column("qid"),
+            "kind": pa.array(["p"] * n),
+            "osm_uid": batch.column("osm_uid"),
+            "dist": batch.column("dist"),
+            "osm_payload": batch.column("osm_payload"),
+            "osm_doc_id": batch.column("osm_doc_id"),
+            "osm_checksum": batch.column("osm_checksum"),
+            "payload": pa.array([""] * n),
+            "doc_id": pa.array([""] * n),
+            "span_checksum": pa.array([""] * n),
+        }
+    )
+
+
+def _wd_recs_for_union(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    return pa.table(
+        {
+            "join_key": batch.column("entity_id"),
+            "kind": pa.array(["r"] * n),
+            "osm_uid": pa.array([""] * n),
+            "dist": pa.array([math.nan] * n, pa.float64()),
+            "osm_payload": pa.array([""] * n),
+            "osm_doc_id": pa.array([""] * n),
+            "osm_checksum": pa.array([""] * n),
+            "payload": batch.column("payload"),
+            "doc_id": batch.column("doc_id"),
+            "span_checksum": batch.column("span_checksum"),
+        }
+    )
+
 
 class ScorerReducer:
-    """Callable class for bucketed map_groups: each invocation receives one
-    hash bucket of qids and loops items with a pandas groupby (cheap C
-    slicing) — the rule tables compile once per actor in __init__."""
+    """Stage-B scorer: one hash bucket of qids per call; WD payloads arrive
+    as 'r' rows of the same bucket.  Rule tables compile once per process
+    (the reference loads them as per-process globals,
+    matcher.py:50-63,112-116) — state is ~1 MB and 5 ms warm, so the stage
+    runs as tasks with a process-cached instance (scorer_task below) rather
+    than a dedicated actor pool; heavy-state stages (e.g. media decode)
+    keep the actor-pool pattern."""
 
     def __init__(self, ruleset_kwargs: dict[str, Any] | None = None) -> None:
         self.ruleset = RuleSet(**(ruleset_kwargs or {}))
 
     def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            self.score_item(g) for _, g in bucket.groupby("qid", sort=False)
-        ]
-        outs = [o for o in outs if len(o)]
+        recs = bucket.loc[bucket["kind"] == "r"].drop_duplicates("join_key")
+        pairs = bucket.loc[bucket["kind"] == "p"]
+        if pairs.empty or recs.empty:
+            return _empty_candidates()
+        wd_lookup = {
+            r.join_key: (r.payload, r.doc_id, r.span_checksum)
+            for r in recs.itertuples()
+        }
+        outs = []
+        for qid, group in pairs.groupby("join_key", sort=False):
+            wd = wd_lookup.get(qid)
+            if wd is None:
+                continue
+            out = self.score_item(qid, wd, group)
+            if len(out):
+                outs.append(out)
         return pd.concat(outs, ignore_index=True) if outs else _empty_candidates()
 
-    def score_item(self, group: pd.DataFrame) -> pd.DataFrame:
-        item = json.loads(group["wd_payload"].iloc[0])
+    def score_item(
+        self, qid: str, wd: tuple[str, str, str], group: pd.DataFrame
+    ) -> pd.DataFrame:
+        wd_payload, wd_doc_id, wd_checksum = wd
+        item = json.loads(wd_payload)
 
-        # dedupe pairs found under multiple block keys; global top-50 by
+        # dedupe pairs found under multiple buckets; global top-50 by
         # distance reproduces the reference's `order by dist limit 50`
         dedup = (
             group.sort_values(["dist", "osm_uid"], kind="stable")
@@ -58,12 +203,12 @@ class ScorerReducer:
         )
         osm_rows = []
         provenance: dict[str, tuple[str, str]] = {}
-        for _, p in dedup.iterrows():
-            obj = json.loads(p["osm_payload"])
-            obj["dist"] = float(p["dist"])
+        for p in dedup.itertuples():
+            obj = json.loads(p.osm_payload)
+            obj["dist"] = float(p.dist)
             osm_rows.append(obj)
             provenance[f"{obj['osm_type']}/{obj['osm_id']}"] = (
-                p["osm_doc_id"], p["osm_checksum"]
+                p.osm_doc_id, p.osm_checksum
             )
 
         candidates = score_item_candidates(item, osm_rows, self.ruleset)
@@ -83,25 +228,59 @@ class ScorerReducer:
             out["osm_id"].append(int(c["osm_id"]))
             out["dist"].append(float(c["dist"]))
             out["identifier_match"].append(bool(c["identifier_match"]))
-            out["address_match"].append(c["address_match"])  # tri-state, nullable
+            out["address_match"].append(c["address_match"])  # tri-state
             out["name_match"].append(json.dumps(c["name_match"], ensure_ascii=False))
             out["matching_tags"].append(json.dumps(sorted(c["matching_tags"])))
             out["chosen"].append(is_chosen)
             out["note"].append("" if is_chosen else note)
             out["already_tagged"].append("wikidata" in c["tags"])
-            out["wd_doc_id"].append(group["wd_doc_id"].iloc[0])
-            out["wd_checksum"].append(group["wd_checksum"].iloc[0])
+            out["wd_doc_id"].append(wd_doc_id)
+            out["wd_checksum"].append(wd_checksum)
             out["osm_doc_id"].append(osm_doc_id)
             out["osm_checksum"].append(osm_checksum)
         df = pd.DataFrame(out)
         if df.empty:
             return _empty_candidates()
-        # tri-state address_match: nullable boolean keeps a stable Arrow
-        # schema across batches (all-None batches otherwise type as null)
+        # nullable boolean keeps a stable Arrow schema across batches
         df["address_match"] = pd.array(out["address_match"], dtype="boolean")
         return df
 
-    # group payloads don't carry the bucket column forward
+
+_scorer_cache: dict[tuple, ScorerReducer] = {}
+
+
+def scorer_task(bucket: pd.DataFrame, ruleset_kwargs: dict | None = None) -> pd.DataFrame:
+    """Task-form scorer with a per-worker-process cached ScorerReducer."""
+    key = tuple(sorted((ruleset_kwargs or {}).items()))
+    scorer = _scorer_cache.get(key)
+    if scorer is None:
+        scorer = _scorer_cache.setdefault(key, ScorerReducer(ruleset_kwargs))
+    return scorer(bucket)
+
+
+def score_attached_pairs(
+    attached: "ray.data.Dataset",
+    records: "ray.data.Dataset",
+    n_parts: int,
+    scorer_concurrency: int | tuple[int, int] | None,
+    ruleset_kwargs: dict[str, Any] | None,
+) -> "ray.data.Dataset":
+    """Stage B: attach WD payloads and score (process-cached task state)."""
+    wd_recs = records.filter(expr="side == 'wd'").select_columns(_REC_COLUMNS)
+    unioned = attached.map_batches(_pairs_for_wd_union, batch_format="pyarrow").union(
+        wd_recs.map_batches(_wd_recs_for_union, batch_format="pyarrow")
+    )
+    return (
+        unioned.map_batches(
+            lambda b: add_bucket(b, "join_key", n_parts * 4), batch_format="pyarrow"
+        )
+        .groupby("bucket", num_partitions=n_parts)
+        .map_groups(
+            scorer_task,
+            fn_kwargs={"ruleset_kwargs": ruleset_kwargs},
+            batch_format="pandas",
+        )
+    )
 
 
 def _empty_candidates() -> pd.DataFrame:

@@ -151,6 +151,6 @@ def test_resume_skips_completed_stages(ray_session, corpus, tmp_path):
         for line in open(f"{ck}/metrics.jsonl")
     ]
     stages = [e for e in events if e["event"] == "resume-skip"]
-    assert {e["stage"] for e in stages} >= {"exploded", "candidates", "resolved"}
+    assert {e["stage"] for e in stages} >= {"records", "candidates", "resolved"}
     manifest = json.loads(open(f"{ck}/candidates.MANIFEST.json").read())
     assert manifest["complete"] and manifest["partitions"]
