@@ -105,6 +105,14 @@ def _linkage_lang_counts(sf_dir: str):
     return language_counts(_synth_docs_ds(sf_dir)).sort(["lang"])
 
 
+def _linkage_isa_facets(sf_dir: str):
+    from osm_wikidata_ray.stages.parse import parse_docs
+    from osm_wikidata_ray.pipelines.linkage import isa_facet_counts
+
+    records = _synth_docs_ds(sf_dir).map_batches(parse_docs, batch_format="pyarrow")
+    return isa_facet_counts(records).sort(["isa"])
+
+
 def _media_features(sf_dir: str):
     from osm_wikidata_ray.pipelines.multimodal import media_features
 
@@ -158,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "session_no"]
         ),
         "linkage_lang_counts": _linkage_lang_counts,
+        "linkage_isa_facets": _linkage_isa_facets,
     }
 
 

@@ -179,3 +179,53 @@ def language_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("lang", num_partitions=8)
         .sum("n")
     )
+
+
+def isa_facet_counts(records: "ray.data.Dataset") -> "ray.data.Dataset":
+    """P31 class facet counts over parsed items (reference isa_facets.py:4-44)
+    — flat_map the isa list, partial counts, tiny groupby."""
+    import json as _json
+
+    import pyarrow as pa
+
+    def explode_isa(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter[str] = Counter()
+        mask = batch.column("side").to_pylist()
+        for side, payload in zip(mask, batch.column("payload").to_pylist()):
+            if side != "wd":
+                continue
+            for isa in _json.loads(payload).get("isa") or []:
+                counts[isa] += 1
+        return pa.table(
+            {"isa": list(counts.keys()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    return (
+        records.map_batches(explode_isa, batch_format="pyarrow")
+        .groupby("isa", num_partitions=8)
+        .sum("n")
+    )
+
+
+def match_ratio(result: LinkageResult) -> dict[str, float]:
+    """candidate_count / item_count metrics (reference place.py:522-528,
+    1239-1241) — small aggregates over pipeline outputs."""
+    n_items = result.candidates.select_columns(["qid"]).unique("qid")
+    accepted = result.accepted.count()
+    candidates = result.candidates.count()
+    items = len(n_items)
+    return {
+        "item_count": items,
+        "candidate_count": candidates,
+        "accepted_count": accepted,
+        "match_ratio": accepted / items if items else 0.0,
+    }
+
+
+def export_json(result: LinkageResult, path: str) -> None:
+    """Debug JSON sink for accepted pairs (reference matcher/export.py:1-103,
+    view.py:976-986) — ds.write_json, one file per block."""
+    result.accepted.write_json(path)

@@ -775,3 +775,29 @@ def check_for_match(
                     result[osm_key].append((PREFIX, w, source))
                     break
     return dict(result)
+
+
+def get_all_matches(
+    osm_tags: dict[str, str],
+    wikidata_names: dict[str, Any],
+    endings: set[str] | None = None,
+) -> list[dict[str, Any]]:
+    """Debug variant returning every name match with provenance
+    (match.py:1080-1107)."""
+    names = get_osm_names(osm_tags)
+    matches = []
+    for w, source in wikidata_names.items():
+        for osm_key, o in names.items():
+            m = name_match(o, w, endings)
+            if m:
+                matches.append(
+                    {
+                        "match_type": m.kind,
+                        "debug": m.debug,
+                        "wikidata_name": w,
+                        "wikidata_source": source,
+                        "osm_name": o,
+                        "osm_key": osm_key,
+                    }
+                )
+    return matches

@@ -154,3 +154,38 @@ def test_resume_skips_completed_stages(ray_session, corpus, tmp_path):
     assert {e["stage"] for e in stages} >= {"records", "candidates", "resolved"}
     manifest = json.loads(open(f"{ck}/candidates.MANIFEST.json").read())
     assert manifest["complete"] and manifest["partitions"]
+
+
+def test_metrics_and_export(ray_session, linkage_result, tmp_path):
+    from osm_wikidata_ray.pipelines.linkage import export_json, match_ratio
+
+    metrics = match_ratio(linkage_result)
+    assert metrics["accepted_count"] > 0
+    assert 0 < metrics["match_ratio"] <= 1.0
+
+    export_json(linkage_result, str(tmp_path / "export"))
+    import glob
+    import json as _json
+
+    files = glob.glob(str(tmp_path / "export" / "*.json"))
+    assert files
+    rows = [
+        _json.loads(line)
+        for f in files
+        for line in open(f)
+        if line.strip()
+    ]
+    assert len(rows) == metrics["accepted_count"]
+
+
+def test_isa_facets_and_lang_counts(ray_session, corpus):
+    from osm_wikidata_ray.pipelines.linkage import isa_facet_counts, language_counts
+    from osm_wikidata_ray.stages.parse import parse_docs
+
+    docs, _ = corpus
+    ds = ray_session.data.from_items(docs).repartition(4)
+    langs = language_counts(ds).to_pandas()
+    assert "en" in set(langs["lang"])
+    records = ds.map_batches(parse_docs, batch_format="pyarrow")
+    facets = isa_facet_counts(records).to_pandas()
+    assert "Q55488" in set(facets["isa"])  # station scenarios plant P31
