@@ -77,12 +77,10 @@ def run_linkage(
 
     hot = blocking.detect_hot_keys(exploded, hot_key_threshold)
     if hot:
-        hot_ref = ray.put(hot)  # broadcast once, read per actor
         exploded = exploded.map_batches(
-            blocking.Salter,
-            fn_constructor_args=(hot_ref, salt_factor),
+            blocking.salt_hot_keys,
+            fn_kwargs={"hot": hot, "salt_factor": salt_factor},
             batch_format="pyarrow",
-            concurrency=(1, 8),
         )
 
     def build_candidates() -> "ray.data.Dataset":
@@ -188,6 +186,8 @@ def isa_facet_counts(records: "ray.data.Dataset") -> "ray.data.Dataset":
 
     import pyarrow as pa
 
+    import zlib as _zlib
+
     def explode_isa(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
@@ -196,7 +196,7 @@ def isa_facet_counts(records: "ray.data.Dataset") -> "ray.data.Dataset":
         for side, payload in zip(mask, batch.column("payload").to_pylist()):
             if side != "wd":
                 continue
-            for isa in _json.loads(payload).get("isa") or []:
+            for isa in _json.loads(_zlib.decompress(payload)).get("isa") or []:
                 counts[isa] += 1
         return pa.table(
             {"isa": list(counts.keys()),

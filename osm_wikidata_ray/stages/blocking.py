@@ -66,56 +66,54 @@ def detect_hot_keys(
     partial counts shuffle; the final filter result is tiny and safe to
     collect on the driver for broadcast.
     """
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("count()"), threshold)
+        return batch.filter(mask)
+
     counts = (
         exploded.select_columns(["block_key"])
         .groupby("block_key", num_partitions=64)
         .count()
-        .filter(lambda row: row["count()"] >= threshold)
+        .map_batches(over_threshold, batch_format="pyarrow")
     )
     return {r["block_key"] for r in counts.take_all()}
 
 
-class Salter:
-    """Hot-key salting map_batches actor: state = broadcast hot-key set."""
+def salt_hot_keys(
+    batch: pa.Table, hot: set[str], salt_factor: int = DEFAULT_SALT_FACTOR
+) -> pa.Table:
+    """Hot-key salting (task fn; the hot set is small and ships in the
+    closure).  Vectorized split: non-hot rows pass through untouched; hot
+    OSM rows get a stable shard suffix; hot WD rows replicate across
+    shards."""
+    if not hot:
+        return batch
+    keys = batch.column("block_key").to_pylist()
+    hot_idx = [i for i, k in enumerate(keys) if k in hot]
+    if not hot_idx:
+        return batch
+    cold_idx = [i for i, k in enumerate(keys) if k not in hot]
+    cold = batch.take(pa.array(cold_idx, pa.int64()))
 
-    def __init__(self, hot_keys_ref: Any, salt_factor: int = DEFAULT_SALT_FACTOR):
-        self.hot = (
-            ray.get(hot_keys_ref)
-            if isinstance(hot_keys_ref, ray.ObjectRef)
-            else set(hot_keys_ref)
-        )
-        self.salt_factor = salt_factor
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.hot:
-            return batch
-        keys = batch.column("block_key").to_pylist()
-        hot_mask = [k in self.hot for k in keys]
-        if not any(hot_mask):
-            return batch
-        sides = batch.column("side").to_pylist()
-        ids = batch.column("entity_id").to_pylist()
-        k = self.salt_factor
-
-        keep_idx: list[int] = []
-        new_keys: list[str] = []
-        for i, (key, is_hot) in enumerate(zip(keys, hot_mask)):
-            if not is_hot:
-                keep_idx.append(i)
-                new_keys.append(key)
-            elif sides[i] == "osm":
-                shard = _stable_hash(ids[i]) % k
-                keep_idx.append(i)
-                new_keys.append(f"{key}#{shard}")
-            else:  # wd side: replicate across all shards
-                for shard in range(k):
-                    keep_idx.append(i)
-                    new_keys.append(f"{key}#{shard}")
-
-        taken = batch.take(pa.array(keep_idx))
-        return taken.set_column(
-            taken.schema.get_field_index("block_key"), "block_key", pa.array(new_keys)
-        )
+    sides = batch.column("side").to_pylist()
+    ids = batch.column("entity_id").to_pylist()
+    k = salt_factor
+    out_idx: list[int] = []
+    out_keys: list[str] = []
+    for i in hot_idx:
+        if sides[i] == "osm":
+            out_idx.append(i)
+            out_keys.append(f"{keys[i]}#{_stable_hash(ids[i]) % k}")
+        else:
+            for shard in range(k):
+                out_idx.append(i)
+                out_keys.append(f"{keys[i]}#{shard}")
+    hot_part = batch.take(pa.array(out_idx, pa.int64()))
+    hot_part = hot_part.set_column(
+        hot_part.schema.get_field_index("block_key"), "block_key",
+        pa.array(out_keys),
+    )
+    return pa.concat_tables([cold, hot_part])
 
 
 def add_bucket(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:

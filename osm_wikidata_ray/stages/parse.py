@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import math
+import zlib
 from typing import Any
 
 import pyarrow as pa
@@ -39,7 +40,7 @@ RECORD_SCHEMA = pa.schema(
         ("max_dist_m", pa.float64()),
         ("is_point", pa.bool_()),
         ("block_keys", pa.list_(pa.string())),
-        ("payload", pa.string()),
+        ("payload", pa.binary()),
         ("doc_id", pa.string()),
         ("span_checksum", pa.string()),
     ]
@@ -71,7 +72,7 @@ def parse_docs(batch: pa.Table) -> pa.Table:
             out["max_dist_m"].append(max_dist_m)
             out["is_point"].append(False)
             out["block_keys"].append(keys)
-            out["payload"].append(json.dumps(item, ensure_ascii=False))
+            out["payload"].append(zlib.compress(json.dumps(item, ensure_ascii=False).encode(), 1))
         else:
             obj = rec["obj"]
             keys = osm_block_keys(obj["tags"], obj["lat"], obj["lon"], obj["planet_table"])
@@ -82,7 +83,7 @@ def parse_docs(batch: pa.Table) -> pa.Table:
             out["max_dist_m"].append(0.0)
             out["is_point"].append(obj["planet_table"] == "point")
             out["block_keys"].append(keys)
-            out["payload"].append(json.dumps(obj, ensure_ascii=False))
+            out["payload"].append(zlib.compress(json.dumps(obj, ensure_ascii=False).encode(), 1))
         out["doc_id"].append(doc_id)
         out["span_checksum"].append(checksum)
 

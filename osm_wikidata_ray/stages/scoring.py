@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import math
+import zlib
 from typing import Any
 
 import pandas as pd
@@ -49,7 +50,7 @@ def _pairs_for_osm_union(batch: pa.Table) -> pa.Table:
             "kind": pa.array(["p"] * n),
             "qid": batch.column("qid"),
             "dist": batch.column("dist"),
-            "payload": pa.array([""] * n),
+            "payload": pa.array([b""] * n, pa.binary()),
             "doc_id": pa.array([""] * n),
             "span_checksum": pa.array([""] * n),
         }
@@ -116,6 +117,7 @@ def attach_osm_payloads(
         unioned.map_batches(
             lambda b: add_bucket(b, "join_key", n_parts * 4), batch_format="pyarrow"
         )
+        .repartition(n_parts)  # coalesce tiny union blocks before the sort
         .groupby("bucket", num_partitions=n_parts)
         .map_groups(_attach_osm_bucket, batch_format="pandas")
     )
@@ -132,7 +134,7 @@ def _pairs_for_wd_union(batch: pa.Table) -> pa.Table:
             "osm_payload": batch.column("osm_payload"),
             "osm_doc_id": batch.column("osm_doc_id"),
             "osm_checksum": batch.column("osm_checksum"),
-            "payload": pa.array([""] * n),
+            "payload": pa.array([b""] * n, pa.binary()),
             "doc_id": pa.array([""] * n),
             "span_checksum": pa.array([""] * n),
         }
@@ -147,7 +149,7 @@ def _wd_recs_for_union(batch: pa.Table) -> pa.Table:
             "kind": pa.array(["r"] * n),
             "osm_uid": pa.array([""] * n),
             "dist": pa.array([math.nan] * n, pa.float64()),
-            "osm_payload": pa.array([""] * n),
+            "osm_payload": pa.array([b""] * n, pa.binary()),
             "osm_doc_id": pa.array([""] * n),
             "osm_checksum": pa.array([""] * n),
             "payload": batch.column("payload"),
@@ -192,7 +194,7 @@ class ScorerReducer:
         self, qid: str, wd: tuple[str, str, str], group: pd.DataFrame
     ) -> pd.DataFrame:
         wd_payload, wd_doc_id, wd_checksum = wd
-        item = json.loads(wd_payload)
+        item = json.loads(zlib.decompress(wd_payload))
 
         # dedupe pairs found under multiple buckets; global top-50 by
         # distance reproduces the reference's `order by dist limit 50`
@@ -204,7 +206,7 @@ class ScorerReducer:
         osm_rows = []
         provenance: dict[str, tuple[str, str]] = {}
         for p in dedup.itertuples():
-            obj = json.loads(p.osm_payload)
+            obj = json.loads(zlib.decompress(p.osm_payload))
             obj["dist"] = float(p.dist)
             osm_rows.append(obj)
             provenance[f"{obj['osm_type']}/{obj['osm_id']}"] = (
@@ -274,6 +276,7 @@ def score_attached_pairs(
         unioned.map_batches(
             lambda b: add_bucket(b, "join_key", n_parts * 4), batch_format="pyarrow"
         )
+        .repartition(n_parts)  # coalesce tiny union blocks before the sort
         .groupby("bucket", num_partitions=n_parts)
         .map_groups(
             scorer_task,
