@@ -29,25 +29,56 @@ from ..util import default_partitions
 
 
 def resolve_conflicts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
-    """chosen candidates → accepted pairs after the cross-item 1:1 gate."""
-    chosen = candidates.filter(expr="chosen == True")
+    """chosen candidates → accepted pairs after the cross-item 1:1 gate.
 
-    def gate(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) > 1:
-            out = group.copy()
-            out["accepted"] = False
-            out["note"] = "OSM candidate matches multiple Wikidata items"
-            return out
-        out = group.copy()
-        already = bool(out["already_tagged"].iloc[0])
-        out["accepted"] = not already
-        if already:
-            out["note"] = "candidate already tagged"
-        return out
+    The conflict set (OSM objects claimed by >1 item) is tiny by
+    construction — a column-pruned count pass collects it to the driver and
+    broadcasts it into a vectorized map, avoiding a third all-to-all
+    shuffle.  (For a pathological input where the conflict set itself were
+    huge, the count pass still bounds it to distinct multiply-claimed ids.)
+    """
+    chosen = candidates.filter(expr="chosen == True").materialize()
 
-    return chosen.groupby(["osm_type", "osm_id"], num_partitions=default_partitions()).map_groups(
-        gate, batch_format="pandas"
+    def to_uid(batch: pa.Table) -> pa.Table:
+        uid = pc.binary_join_element_wise(
+            batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
+        )
+        return pa.table({"osm_uid": uid})
+
+    counts = (
+        chosen.map_batches(to_uid, batch_format="pyarrow")
+        .groupby("osm_uid", num_partitions=16)
+        .count()
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("count()"), 1)),
+            batch_format="pyarrow",
+        )
     )
+    conflicted = {r["osm_uid"] for r in counts.take_all()}
+
+    def gate(batch: pa.Table) -> pa.Table:
+        uid = pc.binary_join_element_wise(
+            batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
+        ).to_pylist()
+        already = batch.column("already_tagged").to_pylist()
+        notes = batch.column("note").to_pylist()
+        accepted, out_notes = [], []
+        for u, a, note in zip(uid, already, notes):
+            if u in conflicted:
+                accepted.append(False)
+                out_notes.append("OSM candidate matches multiple Wikidata items")
+            elif a:
+                accepted.append(False)
+                out_notes.append("candidate already tagged")
+            else:
+                accepted.append(True)
+                out_notes.append(note)
+        batch = batch.set_column(
+            batch.schema.get_field_index("note"), "note", pa.array(out_notes)
+        )
+        return batch.append_column("accepted", pa.array(accepted, pa.bool_()))
+
+    return chosen.map_batches(gate, batch_format="pyarrow")
 
 
 def accepted_pairs(resolved: "ray.data.Dataset") -> "ray.data.Dataset":
