@@ -58,21 +58,34 @@ def explode_keys(batch: pa.Table) -> pa.Table:
 
 
 def detect_hot_keys(
-    exploded: "ray.data.Dataset", threshold: int = DEFAULT_HOT_THRESHOLD
+    exploded: "ray.data.Dataset",
+    threshold: int = DEFAULT_HOT_THRESHOLD,
+    sample_rate: int = 8,
 ) -> set[str]:
-    """Column-pruned count pass; returns the (small) set of hot keys.
+    """Deterministic sampled count pass; returns the (small) hot-key set.
 
-    groupby().count() does map-side partial aggregation, so only per-block
-    partial counts shuffle; the final filter result is tiny and safe to
-    collect on the driver for broadcast.
-    """
+    Salting only needs keys that are thousands of rows hot, so a 1/Nth
+    deterministic row sample estimates them with negligible error while
+    shuffling N× fewer rows (the result is collected to the driver and
+    broadcast).  sample_rate=1 gives exact counts."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keys = batch.column("block_key").to_pylist()
+        ids = batch.column("entity_id").to_pylist()
+        mask = pa.array(
+            [zlib.crc32(f"{k}|{i}".encode()) % sample_rate == 0
+             for k, i in zip(keys, ids)]
+        )
+        return pa.table({"block_key": batch.column("block_key").filter(mask)})
+
+    scaled = max(2, threshold // sample_rate)
+
     def over_threshold(batch: pa.Table) -> pa.Table:
-        mask = pc.greater_equal(batch.column("count()"), threshold)
-        return batch.filter(mask)
+        return batch.filter(pc.greater_equal(batch.column("count()"), scaled))
 
     counts = (
-        exploded.select_columns(["block_key"])
-        .groupby("block_key", num_partitions=64)
+        exploded.map_batches(sample, batch_format="pyarrow")
+        .groupby("block_key", num_partitions=32)
         .count()
         .map_batches(over_threshold, batch_format="pyarrow")
     )
