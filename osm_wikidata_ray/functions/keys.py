@@ -24,7 +24,32 @@ import re
 from typing import Any, Iterable
 
 from ..geo import geo_cell, geo_cell_key, geo_cell_neighborhood
-from ..rules.names import get_osm_names, normalize_name, re_number_start
+from ..rules.names import ABBR, get_osm_names, normalize_name, re_number_start
+
+# canonical road/direction expansion so "1610 E Tropicana Ave." and
+# "East Tropicana Avenue" produce the same address key (the matcher itself
+# handles abbreviations via re_abbr, match.py:803-826 — blocking must too)
+_ABBR_EXPAND = {v: k for k, v in ABBR.items()}
+re_abbr_token = re.compile(
+    r"\b(" + "|".join(sorted(_ABBR_EXPAND, key=len, reverse=True)) + r")\.?\b",
+    re.I,
+)
+
+# street-address phrases inside a Wikipedia extract, e.g.
+# "450 West 37th Street", "1610 E Tropicana Ave."
+re_extract_address = re.compile(
+    r"\b(\d+[-\d]*(?: (?:[A-Z][\w'.-]*|\d+\w*)){1,4} "
+    r"(?:Street|Road|Avenue|Lane|Boulevard|Drive|Square|Plaza|"
+    r"Ave|St|Rd|Blvd|Dr|Ln|Sq)\.?)(?=[\s,.;)]|$)"
+)
+
+
+def canonical_address_key(address: str) -> str:
+    """Expand road/direction abbreviations, then normalize."""
+    expanded = re_abbr_token.sub(
+        lambda m: _ABBR_EXPAND.get(m.group(1).lower(), m.group(1)), address
+    )
+    return "a:" + normalize_name(expanded)
 
 # high-frequency tokens that would create mega-blocks; pairs relying on one
 # of these alone are also discoverable via the full-name or address key
@@ -58,9 +83,7 @@ def _name_keys(name: str) -> set[str]:
 
 
 def _address_keys(housenumber: str, street: str) -> set[str]:
-    return {
-        "a:" + normalize_name(f"{housenumber} {street}"),
-    }
+    return {canonical_address_key(f"{housenumber} {street}")}
 
 
 def wd_block_keys(item: dict[str, Any], with_geo: bool = True) -> list[str]:
@@ -70,9 +93,14 @@ def wd_block_keys(item: dict[str, Any], with_geo: bool = True) -> list[str]:
         keys |= _name_keys(name)
         m = re_number_start.match(name)
         if m:  # number-start names double as address keys
-            keys.add("a:" + normalize_name(m.group(1)))
+            keys.add(canonical_address_key(m.group(1)))
     for addr in item.get("street_addresses") or []:
-        keys.add("a:" + normalize_name(addr))
+        keys.add(canonical_address_key(addr))
+    # extract-address recall: the reference accepts candidates whose OSM
+    # address appears in the item's Wikipedia extract with no name overlap
+    # (check_for_address_in_extract, match.py:803-826) — key those addresses
+    for phrase in re_extract_address.findall(item.get("extract") or ""):
+        keys.add(canonical_address_key(phrase))
     for osm_key, entries in (item.get("identifiers") or {}).items():
         for values, _label in entries:
             for v in values:
@@ -101,7 +129,7 @@ def osm_block_keys(
         keys |= _address_keys(street, hn)  # reversed composition (match.py:894)
     full = tags.get("addr:full")
     if full:
-        keys.add("a:" + normalize_name(full))
+        keys.add(canonical_address_key(full))
     for key, value in tags.items():
         if value and key in _IDENTIFIER_OSM_KEYS:
             keys.add(f"i:{key}={value.replace(' ', '').lower()}")

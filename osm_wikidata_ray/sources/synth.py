@@ -427,6 +427,33 @@ def fam_hot_key(s: _Scenario) -> None:
         s.expect(q, far, "nonmatch", "veto:distance")
 
 
+def fam_extract_address(s: _Scenario) -> None:
+    """Address-in-extract match with no shared name (ref
+    tests/test_matcher.py:543-588, Baryshnikov Arts Center shape)."""
+    stem2 = s.stem.split()[0].capitalize() + "gate"
+    if s.index % 2:
+        extract_street, osm_street = f"{stem2} Ave.", f"{stem2} Avenue"
+    else:
+        extract_street, osm_street = f"{stem2} Street", f"{stem2} Street"
+    extract = (
+        f"<p>The <b>{s.stem} Arts Centre</b> is a foundation and arts "
+        f"complex opened in 2005 at 450 {extract_street} in the old "
+        f"quarter.</p>"
+    )
+    q = s.add_wd(
+        {f"{s.stem} Arts Centre": [("label", "en")]},
+        ["building"],
+        extract=extract,
+    )
+    o = s.add_osm(
+        {"addr:housenumber": "450", "addr:street": osm_street, "building": "yes",
+         "height": "44"},
+        osm_type="way",
+        north_m=25,
+    )
+    s.expect(q, o, "match", "address-extract")
+
+
 FAMILIES: list[tuple[str, Callable[[_Scenario], None]]] = [
     ("exact", fam_exact),
     ("case", fam_case),
@@ -448,6 +475,7 @@ FAMILIES: list[tuple[str, Callable[[_Scenario], None]]] = [
     ("conflict", fam_conflict),
     ("prefer_station", fam_prefer_station),
     ("already_tagged", fam_already_tagged),
+    ("extract_address", fam_extract_address),
 ]
 HOT_KEY_EVERY = 97  # scenario indices divisible by this run the hot-key family
 
