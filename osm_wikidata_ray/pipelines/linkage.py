@@ -54,6 +54,7 @@ def run_linkage(
     scorer_concurrency: int | tuple[int, int] = (1, 8),
     with_clusters: bool = True,
     general_clustering: bool = False,
+    keep_rejects: bool = False,
     ruleset_kwargs: dict[str, Any] | None = None,
 ) -> LinkageResult:
     """Assemble the full linkage pipeline over a docs Dataset."""
@@ -105,7 +106,8 @@ def run_linkage(
         if checkpoint_dir is None:
             attached = attached.materialize()
         return scoring.score_attached_pairs(
-            attached, records, n_parts, scorer_concurrency, ruleset_kwargs
+            attached, records, n_parts, scorer_concurrency, ruleset_kwargs,
+            keep_rejects=keep_rejects,
         )
 
     candidates = ckpt.run("candidates", build_candidates)

@@ -317,12 +317,15 @@ def score_item_candidates(
     item: dict,
     osm_rows: list[dict[str, Any]],
     ruleset: RuleSet,
+    rejects: list[dict[str, Any]] | None = None,
 ) -> list[Candidate]:
     """Single-item end-to-end scoring: the parsed-record equivalent of
     find_item_matches (matcher.py:602-917).
 
     ``osm_rows``: [{osm_type, osm_id, name, tags, dist, planet_table,
     src_id}] — the blocked candidate rows, pre-gated by distance.
+    ``rejects``: optional sink collecting per-pair reject reasons (the
+    reference's check_item_candidate reject strings, matcher.py:995-1135).
     """
     if not item or not item.get("names"):
         return []
@@ -345,6 +348,15 @@ def score_item_candidates(
         seen.add(key)
         verdict = evaluate_candidate(ctx, row["osm_type"], row["tags"], row["dist"])
         if "reject" in verdict:
+            if rejects is not None:
+                rejects.append(
+                    {
+                        "osm_type": row["osm_type"],
+                        "osm_id": row["osm_id"],
+                        "dist": row["dist"],
+                        "reject": verdict["reject"],
+                    }
+                )
             continue
         candidates.append(
             {

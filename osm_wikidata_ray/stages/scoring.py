@@ -168,8 +168,13 @@ class ScorerReducer:
     than a dedicated actor pool; heavy-state stages (e.g. media decode)
     keep the actor-pool pattern."""
 
-    def __init__(self, ruleset_kwargs: dict[str, Any] | None = None) -> None:
+    def __init__(
+        self,
+        ruleset_kwargs: dict[str, Any] | None = None,
+        keep_rejects: bool = False,
+    ) -> None:
         self.ruleset = RuleSet(**(ruleset_kwargs or {}))
+        self.keep_rejects = keep_rejects
 
     def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
         recs = bucket.loc[bucket["kind"] == "r"].drop_duplicates("join_key")
@@ -213,7 +218,10 @@ class ScorerReducer:
                 p.osm_doc_id, p.osm_checksum
             )
 
-        candidates = score_item_candidates(item, osm_rows, self.ruleset)
+        reject_sink: list[dict[str, Any]] | None = [] if self.keep_rejects else None
+        candidates = score_item_candidates(
+            item, osm_rows, self.ruleset, rejects=reject_sink
+        )
         chosen, note = (None, "")
         if candidates:
             chosen, note = choose_single_candidate(item, candidates)
@@ -240,6 +248,25 @@ class ScorerReducer:
             out["wd_checksum"].append(wd_checksum)
             out["osm_doc_id"].append(osm_doc_id)
             out["osm_checksum"].append(osm_checksum)
+        for r in reject_sink or []:
+            uid = f"{r['osm_type']}/{r['osm_id']}"
+            osm_doc_id, osm_checksum = provenance.get(uid, ("", ""))
+            out["qid"].append(item["qid"])
+            out["osm_type"].append(r["osm_type"])
+            out["osm_id"].append(int(r["osm_id"]))
+            out["dist"].append(float(r["dist"]))
+            out["identifier_match"].append(False)
+            out["address_match"].append(None)
+            out["name_match"].append("{}")
+            out["matching_tags"].append("[]")
+            out["chosen"].append(False)
+            out["note"].append("reject: " + r["reject"])
+            out["already_tagged"].append(False)
+            out["wd_doc_id"].append(wd_doc_id)
+            out["wd_checksum"].append(wd_checksum)
+            out["osm_doc_id"].append(osm_doc_id)
+            out["osm_checksum"].append(osm_checksum)
+
         df = pd.DataFrame(out)
         if df.empty:
             return _empty_candidates()
@@ -251,12 +278,18 @@ class ScorerReducer:
 _scorer_cache: dict[tuple, ScorerReducer] = {}
 
 
-def scorer_task(bucket: pd.DataFrame, ruleset_kwargs: dict | None = None) -> pd.DataFrame:
+def scorer_task(
+    bucket: pd.DataFrame,
+    ruleset_kwargs: dict | None = None,
+    keep_rejects: bool = False,
+) -> pd.DataFrame:
     """Task-form scorer with a per-worker-process cached ScorerReducer."""
-    key = tuple(sorted((ruleset_kwargs or {}).items()))
+    key = (tuple(sorted((ruleset_kwargs or {}).items())), keep_rejects)
     scorer = _scorer_cache.get(key)
     if scorer is None:
-        scorer = _scorer_cache.setdefault(key, ScorerReducer(ruleset_kwargs))
+        scorer = _scorer_cache.setdefault(
+            key, ScorerReducer(ruleset_kwargs, keep_rejects=keep_rejects)
+        )
     return scorer(bucket)
 
 
@@ -266,6 +299,7 @@ def score_attached_pairs(
     n_parts: int,
     scorer_concurrency: int | tuple[int, int] | None,
     ruleset_kwargs: dict[str, Any] | None,
+    keep_rejects: bool = False,
 ) -> "ray.data.Dataset":
     """Stage B: attach WD payloads and score (process-cached task state)."""
     wd_recs = records.filter(expr="side == 'wd'").select_columns(_REC_COLUMNS)
@@ -280,7 +314,7 @@ def score_attached_pairs(
         .groupby("bucket", num_partitions=n_parts)
         .map_groups(
             scorer_task,
-            fn_kwargs={"ruleset_kwargs": ruleset_kwargs},
+            fn_kwargs={"ruleset_kwargs": ruleset_kwargs, "keep_rejects": keep_rejects},
             batch_format="pandas",
         )
     )

@@ -189,3 +189,21 @@ def test_isa_facets_and_lang_counts(ray_session, corpus):
     records = ds.map_batches(parse_docs, batch_format="pyarrow")
     facets = isa_facet_counts(records).to_pandas()
     assert "Q55488" in set(facets["isa"])  # station scenarios plant P31
+
+
+def test_reject_reasons_surface(ray_session):
+    """With keep_rejects the scorer emits veto reasons as rows (reference
+    check_item_candidate reject strings, matcher.py:995-1135)."""
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+    from osm_wikidata_ray.sources.synth import FAMILIES, generate_scenario
+
+    idx = next(i for i, (name, _) in enumerate(FAMILIES) if name == "parking")
+    s = generate_scenario(idx)
+    docs = [{"doc_id": d, "spans": sp} for d, sp in s.docs]
+    ds = ray_session.data.from_items(docs).repartition(2)
+    res = run_linkage(ds, with_clusters=False, keep_rejects=True,
+                      scorer_concurrency=(1, 2))
+    cands = res.candidates.to_pandas()
+    notes = set(cands["note"])
+    assert any(n.startswith("reject:") for n in notes), notes
+    assert "reject: parking only matches parking" in notes
