@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_a", "doc_b"]
         ),
         "dedup_simhash": lambda sf: td.dedup_simhash(sf).sort(["doc_a", "doc_b"]),
+        "dedup_minhash_clusters": lambda sf: td.dedup_minhash_clusters(sf).sort(
+            ["canonical_doc"]
+        ),
         "dedup_embedding_cosine": lambda sf: td.dedup_embedding_cosine(sf).sort(
             ["vec_a", "vec_b"]
         ),

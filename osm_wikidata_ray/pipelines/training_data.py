@@ -641,3 +641,43 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         .groupby("bucket", num_partitions=n_parts)
         .map_groups(sessionize, batch_format="pandas")
     )
+
+
+def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
+    """Near-duplicate clusters + canonical representative per cluster:
+    minhash-LSH pairs → general min-label propagation (the same distributed
+    union-find the linkage engine uses) → per-cluster min doc_id survives."""
+    import pyarrow as pa
+
+    from ..stages.clustering import connected_components
+
+    pairs = dedup_minhash(sf_dir, threshold).map_batches(
+        lambda b: pa.table(
+            {
+                "qid": pc.cast(b.column("doc_a"), pa.string()),
+                "osm_type": pa.array(["doc"] * len(b)),
+                "osm_id": b.column("doc_b"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(pairs)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        docs = []
+        for n in batch.column("node").to_pylist():
+            m = _re.match(r"^(?:doc/)?(\d+)$", n)
+            docs.append(int(m.group(1)) if m else -1)
+        return pa.table(
+            {"doc_id": pa.array(docs, pa.int64()),
+             "cluster_id": batch.column("cluster_id")}
+        )
+
+    cleaned = labels.map_batches(clean, batch_format="pyarrow")
+    reps = cleaned.groupby("cluster_id", num_partitions=8).min("doc_id")
+    return reps.map_batches(
+        lambda b: pa.table({"canonical_doc": b.column("min(doc_id)")}),
+        batch_format="pyarrow",
+    )

@@ -104,3 +104,29 @@ def test_media_features_stub(ray_session):
     assert len(feats) == n_media
     if n_media:
         assert all(len(f) == 8 for f in feats.feature)
+
+
+def test_dedup_minhash_clusters(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import dedup_minhash_clusters
+
+    base = (
+        "one fine morning the harbour master counted seventeen grey boats "
+        "sliding past the old stone pier while gulls wheeled overhead in "
+        "wide lazy circles above the shining water"
+    )
+    rows = [
+        {"doc_id": i, "text": f"unique text {i} " + "padding words " * 5,
+         "lang": "en", "source": "s", "n_chars": 1}
+        for i in range(20)
+    ]
+    # chain of near-dups 100-101-102 → one cluster, canonical 100
+    rows.append({"doc_id": 100, "text": base, "lang": "en", "source": "s", "n_chars": 1})
+    rows.append({"doc_id": 101, "text": base + " tail one", "lang": "en", "source": "s", "n_chars": 1})
+    rows.append({"doc_id": 102, "text": base.replace("grey", "gray") + " tail one", "lang": "en", "source": "s", "n_chars": 1})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    reps = dedup_minhash_clusters(str(tmp_path)).to_pandas()
+    assert set(reps["canonical_doc"]) == {100}
