@@ -1,12 +1,18 @@
 """The flagship record-linkage pipeline (doc table → clusters).
 
-    docs ─ map_batches(parse_docs)          stateless parse + key explosion
-         ─ map_batches(explode_keys)
-         ─ [count pass → hot keys → Salter] skew handling
-         ─ groupby(block_key).map_groups    pair generation (shuffle 1)
-         ─ groupby(qid).map_groups(Scorer)  scoring actor pool (shuffle 2)
-         ─ groupby(osm).map_groups          1:1 conflict gate (shuffle 3)
-         ─ connected_components             transitive closure (shuffle 4)
+    docs ─ map_batches(parse_docs)            parse + blocking keys + checksums
+         ─ map_batches(explode_keys)          THIN key explosion (no payloads)
+         ─ [sampled count → salt_hot_keys]    skew handling ("San Jose")
+         ─ bucketed groupby(block_key)        pair generation (shuffle 1)
+         ─ union ⊎ OSM records → bucketed     payload attach (shuffle 2) —
+           groupby(osm id)                    payloads ship once per record
+         ─ union ⊎ WD records → bucketed      scoring (shuffle 3): full rule
+           groupby(qid) → scorer              cascade, per-item reduction,
+                                              process-cached rule tables
+         ─ count + broadcast conflict set     1:1 gate (no extra shuffle)
+         ─ clusters                           closed-form for 1:1 pairs;
+                                              general min-label propagation
+                                              (connected_components) on demand
 
 All stages are streaming Dataset transforms; optional per-stage checkpoints
 (state/lineage.Checkpoints) give per-partition lineage and resume.  Never
