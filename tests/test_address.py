@@ -251,3 +251,22 @@ def test_check_for_address_range_in_extract():
 def test_normalize_url():
     assert a.normalize_url("http://test.org/") == "test.org"
     assert a.normalize_url("https://www.test.org") == "test.org"
+
+
+def test_display_distance():
+    from osm_wikidata_ray.rules.display import (
+        capfirst,
+        display_distance,
+        metric_display_distance,
+    )
+
+    assert capfirst("test one") == "Test one"
+    assert capfirst("") == ""
+    assert metric_display_distance("metres", 450) == "450 m"
+    assert metric_display_distance("km", 2500) == "2.50 km"
+    assert metric_display_distance("km_and_metres", 450) == "450 m"
+    assert metric_display_distance("km_and_metres", 2500) == "2.50 km"
+    assert display_distance("miles_and_feet", 3218.7) == "2.00 miles"
+    assert display_distance("miles_and_feet", 100) == "328 feet"
+    assert display_distance("miles_and_yards", 100) == "109 yards"
+    assert display_distance("miles_and_metres", 100) == "100 metres"
