@@ -55,8 +55,14 @@ def _warmup() -> None:
     ).count()
 
 
-def run_linkage_bench(sf_dir: str, n_docs: int | None = None) -> dict:
-    """Headline: full linkage pipeline over the synthesized doc corpus."""
+def run_linkage_bench(
+    sf_dir: str, n_docs: int | None = None, repeats: int = 1
+) -> dict:
+    """Headline: full linkage pipeline over the synthesized doc corpus.
+
+    ``repeats`` > 1 reruns the identical job and keeps the fastest wall
+    (the shared sandbox has ±30% scheduling noise; best-of-N measures the
+    pipeline, not the neighbours)."""
     import ray
 
     from osm_wikidata_ray.pipelines.linkage import run_linkage
@@ -67,26 +73,28 @@ def run_linkage_bench(sf_dir: str, n_docs: int | None = None) -> dict:
     ds = synth_docs_dataset(n, parallelism=64)
     _warmup()
 
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 8))
-    t0 = time.time()
-    res = run_linkage(
-        ds, with_clusters=True, hot_key_threshold=2000, salt_factor=8,
-        scorer_concurrency=(1, max(2, cpus // 2)),
-    )
-    n_candidates = res.candidates.count()
-    n_accepted = res.accepted.count()
-    n_clusters = res.clusters.count()
-    wall = time.time() - t0
-    return {
-        "wall_s": wall,
-        "n_docs": n,
-        "pairs_scored": n_candidates,
-        "accepted": n_accepted,
-        "cluster_rows": n_clusters,
-        "docs_per_sec": n / wall,
-    }
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    best = None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        res = run_linkage(
+            ds, with_clusters=True, hot_key_threshold=2000, salt_factor=8,
+            scorer_concurrency=(1, max(2, cpus // 2)),
+        )
+        n_candidates = res.candidates.count()
+        n_accepted = res.accepted.count()
+        n_clusters = res.clusters.count()
+        wall = time.time() - t0
+        if best is None or wall < best["wall_s"]:
+            best = {
+                "wall_s": wall,
+                "n_docs": n,
+                "pairs_scored": n_candidates,
+                "accepted": n_accepted,
+                "cluster_rows": n_clusters,
+                "docs_per_sec": n / wall,
+            }
+    return best
 
 
 TRAINING_BENCHES = [
@@ -116,6 +124,7 @@ def main() -> None:
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--linkage-only", action="store_true")
     parser.add_argument("--n-docs", type=int, default=None)
+    parser.add_argument("--repeats", type=int, default=1)
     args = parser.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,7 +136,7 @@ def main() -> None:
 
     _init_ray(num_cpus)
     t_start = time.time()
-    linkage = run_linkage_bench(sf_dir, args.n_docs)
+    linkage = run_linkage_bench(sf_dir, args.n_docs, args.repeats)
     queries = {"linkage": round(linkage["wall_s"], 3)}
     if not args.linkage_only:
         queries.update(run_training_benches(sf_dir))
