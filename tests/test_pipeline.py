@@ -207,3 +207,22 @@ def test_reject_reasons_surface(ray_session):
     notes = set(cands["note"])
     assert any(n.startswith("reject:") for n in notes), notes
     assert "reject: parking only matches parking" in notes
+
+
+def test_pipeline_deterministic(ray_session, corpus):
+    """Two independent runs over the same docs produce identical accepted
+    sets (stable hashing, no PYTHONHASHSEED leakage, deterministic caps)."""
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+
+    docs, _ = corpus
+    subset = docs[:120]
+
+    def run_once():
+        ds = ray_session.data.from_items(subset).repartition(3)
+        res = run_linkage(ds, with_clusters=False, hot_key_threshold=100,
+                          salt_factor=4, scorer_concurrency=(1, 2))
+        acc = res.accepted.to_pandas()
+        return sorted((r.qid, r.osm_type, r.osm_id, round(r.dist, 6))
+                      for r in acc.itertuples())
+
+    assert run_once() == run_once()
