@@ -1,0 +1,59 @@
+"""Driver-contract parity: every oracle_sql() entry must match its Ray
+query value-for-value on the sf0.001 tables (the same comparison the
+external driver runs at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    df = df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(4)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df
+
+
+def test_all_oracles_match(ray_session, duck):
+    import __ray_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert oracles, "oracle_sql() is empty"
+    assert set(oracles) <= set(queries), "oracle without a query"
+
+    failures = []
+    for name, sql in oracles.items():
+        res = queries[name](SF)
+        df = _normalize(res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res))
+        odf = _normalize(duck.sql(sql).df())
+        if df.shape != odf.shape or list(df.columns) != list(odf.columns):
+            failures.append(f"{name}: shape/cols {df.shape}{list(df.columns)} vs {odf.shape}{list(odf.columns)}")
+            continue
+        for c in df.columns:
+            ok = (
+                (df[c].fillna(-1) - odf[c].fillna(-1)).abs().max() <= 1e-9
+                if df[c].dtype.kind in "fiu"
+                else df[c].astype(str).equals(odf[c].astype(str))
+            )
+            if not ok:
+                failures.append(f"{name}: column {c} differs")
+    assert not failures, failures
