@@ -24,7 +24,13 @@ import re
 from typing import Any, Iterable
 
 from ..geo import geo_cell, geo_cell_key, geo_cell_neighborhood
-from ..rules.names import ABBR, get_osm_names, normalize_name, re_number_start
+from ..rules.names import (
+    ABBR,
+    get_osm_names,
+    normalize_name,
+    re_number_start,
+    tidy_name,
+)
 
 # canonical road/direction expansion so "1610 E Tropicana Ave." and
 # "East Tropicana Avenue" produce the same address key (the matcher itself
@@ -69,6 +75,13 @@ def _name_keys(name: str) -> set[str]:
     full = normalize_name(name)
     if len(full) > 2:
         keys.add("n:" + full)
+    # tidy-rewritten full name: recalls pairs whose every token is rewritten
+    # by the tidy_name cascade ("Mount No. 3" vs "Mt Number 3" share no raw
+    # token and no normalized full name, but the same tidied form —
+    # match.py:103-177 makes such pairs matches, so blocking must find them)
+    tidied_full = "".join(re_word.findall(tidy_name(name.lower())))
+    if len(tidied_full) > 2 and tidied_full != full:
+        keys.add("n:" + tidied_full)
     terms = re_word.findall(name.lower())
     for t in terms:
         if len(t) > 2 and t not in STOP_TOKENS and not t.isdigit():

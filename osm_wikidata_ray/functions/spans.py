@@ -188,6 +188,7 @@ def _decode_osm(doc_id: str, spans: list[dict[str, Any]]) -> dict[str, Any]:
     lat = lon = None
     tags: dict[str, str] = {}
     planet_table = None
+    src_id: int | None = None
 
     for s in spans:
         kind, text = s["kind"], s["text"]
@@ -207,9 +208,17 @@ def _decode_osm(doc_id: str, spans: list[dict[str, Any]]) -> dict[str, Any]:
             pid, _, value = text.partition("\t")
             if pid == "PLANET":
                 planet_table = value
+            elif pid == "SRCID":  # osm2pgsql source-geometry id (matcher.py:1222)
+                src_id = int(value)
 
     if planet_table is None:
         planet_table = {"node": "point", "relation": "relation"}.get(osm_type, "line")
+    if src_id is None:
+        src_id = (
+            -osm_id
+            if (osm_type == "relation" and planet_table != "relation")
+            else osm_id
+        )
 
     return {
         "doc_id": doc_id,
@@ -220,7 +229,7 @@ def _decode_osm(doc_id: str, spans: list[dict[str, Any]]) -> dict[str, Any]:
         "lat": lat,
         "lon": lon,
         "planet_table": planet_table,
-        "src_id": -osm_id if (osm_type == "relation" and planet_table != "relation") else osm_id,
+        "src_id": src_id,
     }
 
 
@@ -276,4 +285,6 @@ def encode_osm_doc(obj: dict[str, Any]) -> tuple[str, list[dict[str, Any]]]:
         spans.append(make_span("tag", f"{k}={v}" if v else k))
     if obj.get("planet_table"):
         spans.append(make_span("claim", f"PLANET\t{obj['planet_table']}"))
+    if obj.get("src_id") is not None:
+        spans.append(make_span("claim", f"SRCID\t{obj['src_id']}"))
     return doc_id, spans

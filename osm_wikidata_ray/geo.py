@@ -38,6 +38,7 @@ def offset_latlon(lat: float, lon: float, north_m: float, east_m: float) -> tupl
 # ~10 m grid cells for the nearby-node blocking key (reference nearby_nodes_sql
 # radius, matcher.py:240-251).  1e-4 deg latitude ≈ 11.1 m.
 GEO_CELL_DEG = 1e-4
+NEARBY_RADIUS_M = 10.0
 
 
 def geo_cell(lat: float, lon: float) -> tuple[int, int]:
@@ -49,7 +50,18 @@ def geo_cell_key(cy: int, cx: int) -> str:
 
 
 def geo_cell_neighborhood(lat: float, lon: float) -> list[str]:
-    """3x3 cell neighborhood — emitted on the Wikidata side so any node
-    within ~10 m shares a cell key with the item."""
+    """Cell neighborhood emitted on the Wikidata side so any node within
+    ~10 m shares a cell key with the item.
+
+    Longitude cells shrink to ~11.1·cos(lat) m east-west, so the east-west
+    half-width grows with latitude (a fixed 3x3 block misses sub-10 m
+    neighbors above ~26°).  Width is capped — past ~89.7° the nearby-node
+    rule degrades gracefully rather than exploding the key count."""
     cy, cx = geo_cell(lat, lon)
-    return [geo_cell_key(cy + dy, cx + dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    cell_w_m = 111_194.9 * GEO_CELL_DEG * max(math.cos(math.radians(lat)), 1e-6)
+    nx = min(int(math.ceil(NEARBY_RADIUS_M / cell_w_m)), 200)
+    return [
+        geo_cell_key(cy + dy, cx + dx)
+        for dy in (-1, 0, 1)
+        for dx in range(-nx, nx + 1)
+    ]

@@ -62,6 +62,7 @@ def run_linkage(
     general_clustering: bool = False,
     keep_rejects: bool = False,
     ruleset_kwargs: dict[str, Any] | None = None,
+    want_isa: set[str] | None = None,
 ) -> LinkageResult:
     """Assemble the full linkage pipeline over a docs Dataset."""
     ckpt = Checkpoints(checkpoint_dir)
@@ -113,7 +114,7 @@ def run_linkage(
             attached = attached.materialize()
         return scoring.score_attached_pairs(
             attached, records, n_parts, scorer_concurrency, ruleset_kwargs,
-            keep_rejects=keep_rejects,
+            keep_rejects=keep_rejects, want_isa=want_isa,
         )
 
     candidates = ckpt.run("candidates", build_candidates)
@@ -156,32 +157,106 @@ def verify_spans(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(parse.checksum_docs, batch_format="pyarrow")
 
 
-def language_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Per-language Wikidata label counts over the doc corpus (reference
-    place.py:1078-1115 language stats) — partial counts in the map, tiny
-    final groupby."""
+def language_counts(
+    docs: "ray.data.Dataset",
+    country_code: str | None = None,
+    top: int = 10,
+):
+    """Wikidata-side language counts (reference languages_wikidata,
+    place.py:1078-1115): per-item label-language sets; {ceb,sv}-only items
+    skipped unless country is se/fi; per-language, hyphenated variants and
+    ceb are never counted; above 10 items the sub-10% tail is cut (en always
+    kept); us/gb country allowlists; top-`top` by count.
+
+    Partial counts in the map, tiny groupby, then the cuts run driver-side
+    on the (≤ a few hundred rows) language table — returns a small pandas
+    DataFrame, deterministic tie-break (count desc, lang asc)."""
+    import pandas as pd
     import pyarrow as pa
 
-    from ..util import default_partitions
+    count_sv = country_code in {"se", "fi"}
+    schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
 
     def count_langs(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
         counts: Counter[str] = Counter()
+        n_items = 0
         for spans in batch.column("spans").to_pylist():
+            side = None
+            label_langs: set[str] = set()
             for s in spans:
-                if s["kind"] != "name":
-                    continue
-                source, lang, _value = s["text"].split("\t", 2)
-                if source == "label" and lang:
-                    counts[lang] += 1
+                kind = s["kind"]
+                if kind == "side":
+                    side = s["text"]
+                elif kind == "name":
+                    source, lang, _value = s["text"].split("\t", 2)
+                    if source == "label" and lang:
+                        label_langs.add(lang)
+            if side != "wd":
+                continue
+            n_items += 1
+            if not count_sv and label_langs == {"ceb", "sv"}:
+                continue  # place.py:1085-1088
+            for lang in label_langs:
+                if "-" in lang or lang == "ceb":
+                    continue  # place.py:1090-1092
+                counts[lang] += 1
+        counts["\x00items"] = n_items  # item-count sentinel, same shuffle
         return pa.table(
             {"lang": list(counts.keys()),
-             "n": pa.array(list(counts.values()), pa.int64())}
+             "n": pa.array(list(counts.values()), pa.int64())},
+            schema=schema,
+        )
+
+    agg = (
+        docs.map_batches(count_langs, batch_format="pyarrow")
+        .groupby("lang", num_partitions=8)
+        .sum("n")
+        .to_pandas()
+    )
+    agg = agg.rename(columns={"sum(n)": "n"})
+    item_count = int(agg.loc[agg["lang"] == "\x00items", "n"].sum())
+    agg = agg[agg["lang"] != "\x00items"]
+    if item_count > 10:  # tail cut, place.py:1095-1101
+        agg = agg[(agg["lang"] == "en") | (agg["n"] / item_count > 0.1)]
+    if country_code == "us":  # place.py:1103-1106
+        agg = agg[agg["lang"].isin(["en", "es"])]
+    if country_code == "gb":  # place.py:1108-1113
+        agg = agg[agg["lang"].isin(["en", "fr", "de", "cy"])]
+    agg = agg.sort_values(["n", "lang"], ascending=[False, True]).head(top)
+    return agg.reset_index(drop=True)
+
+
+def osm_language_counts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
+    """OSM-side language counts over candidate rows: name:xx tag keys of
+    every stored candidate (reference languages_osm place.py:1061-1076,
+    ItemCandidate.languages model.py:1243-1244).  The scorer already emits
+    the languages as a JSON column — no payload re-decode needed."""
+    import json as _json
+
+    import pyarrow as pa
+
+    schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
+
+    def count_langs(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter[str] = Counter()
+        notes = batch.column("note").to_pylist()
+        for langs_json, note in zip(batch.column("osm_langs").to_pylist(), notes):
+            if note.startswith("reject: "):
+                continue
+            for lang in _json.loads(langs_json):
+                counts[lang] += 1
+        return pa.table(
+            {"lang": list(counts.keys()),
+             "n": pa.array(list(counts.values()), pa.int64())},
+            schema=schema,
         )
 
     return (
-        docs.map_batches(count_langs, batch_format="pyarrow")
+        candidates.map_batches(count_langs, batch_format="pyarrow")
         .groupby("lang", num_partitions=8)
         .sum("n")
     )
@@ -196,6 +271,8 @@ def isa_facet_counts(records: "ray.data.Dataset") -> "ray.data.Dataset":
 
     import zlib as _zlib
 
+    schema = pa.schema([("isa", pa.string()), ("n", pa.int64())])
+
     def explode_isa(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
@@ -208,7 +285,8 @@ def isa_facet_counts(records: "ray.data.Dataset") -> "ray.data.Dataset":
                 counts[isa] += 1
         return pa.table(
             {"isa": list(counts.keys()),
-             "n": pa.array(list(counts.values()), pa.int64())}
+             "n": pa.array(list(counts.values()), pa.int64())},
+            schema=schema,
         )
 
     return (

@@ -146,24 +146,32 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def doc_fingerprint(sf_dir: str, window: int = 8, keep: int = 4) -> "ray.data.Dataset":
-    """Winnowing-style rolling-hash fingerprints (deterministic crc32)."""
+def doc_fingerprint(
+    sf_dir: str, window: int = 8, stride: int = 4, keep: int = 4
+) -> "ray.data.Dataset":
+    """Winnowing-style document fingerprints: md5 every `window`-char
+    substring at `stride`, keep the `keep` smallest digests, fingerprint =
+    md5 of their join.  md5 keeps the function bit-reproducible in the
+    DuckDB oracle (crc32 has no SQL equivalent)."""
 
     def fp(batch: pa.Table) -> pa.Table:
         doc_ids, fps = [], []
+        md5 = hashlib.md5
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            t = (text or "").encode()
+            t = text or ""
             hashes = [
-                zlib.crc32(t[i : i + window]) for i in range(0, max(len(t) - window, 1), 4)
+                md5(t[i : i + window].encode()).hexdigest()
+                for i in range(0, max(len(t) - window, 1), stride)
             ]
             hashes.sort()
             doc_ids.append(doc_id)
-            fps.append(int.from_bytes(
-                hashlib.sha1(bytes(str(hashes[:keep]), "utf8")).digest()[:8], "big", signed=False
-            ) >> 1)
-        return pa.table({"doc_id": doc_ids, "fingerprint": pa.array(fps, pa.int64())})
+            fps.append(md5("|".join(hashes[:keep]).encode()).hexdigest())
+        return pa.table(
+            {"doc_id": doc_ids, "fingerprint": pa.array(fps, pa.string())},
+            schema=pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.string())]),
+        )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow"

@@ -318,6 +318,7 @@ def score_item_candidates(
     osm_rows: list[dict[str, Any]],
     ruleset: RuleSet,
     rejects: list[dict[str, Any]] | None = None,
+    want_isa: set[str] | None = None,
 ) -> list[Candidate]:
     """Single-item end-to-end scoring: the parsed-record equivalent of
     find_item_matches (matcher.py:602-917).
@@ -326,11 +327,19 @@ def score_item_candidates(
     src_id}] — the blocked candidate rows, pre-gated by distance.
     ``rejects``: optional sink collecting per-pair reject reasons (the
     reference's check_item_candidate reject strings, matcher.py:995-1135).
+    ``want_isa``: optional isa filter — when set, items outside it that are
+    poor-quality stubs (cebwiki/svwiki-only, proposed, UK-authority) are
+    skipped before matching, exactly the reference's gating
+    (place.py:1198-1200 → model.py:972-1006; with no want_isa the skip
+    never fires, matching the reference default).
     """
     if not item or not item.get("names"):
         return []
     if not osm_rows:
         return []
+    if want_isa and not (set(item.get("isa") or []) & set(want_isa)):
+        if item_rules.skip_item_during_match(item):
+            return []
 
     nrhp = set(item.get("nrhp") or [])
     if nrhp:
@@ -370,6 +379,21 @@ def score_item_candidates(
                 **verdict,
             }
         )
+
+    # line-vs-polygon dedup (reference filter_candidates,
+    # matcher.py:1222-1234): a geometry loaded into both the line and the
+    # polygon table keeps only its polygon row (same src_id)
+    poly_src = {
+        c["src_id"] for c in candidates if c.get("planet_table") == "polygon"
+    }
+    if poly_src:
+        candidates = [
+            c
+            for c in candidates
+            if not (
+                c.get("planet_table") == "line" and c.get("src_id") in poly_src
+            )
+        ]
 
     candidates = filter_distant(candidates)
     candidates = prefer_proper_name_match(candidates)

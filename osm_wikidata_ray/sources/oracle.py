@@ -70,7 +70,9 @@ def candidate_rows_for_items(
 
 
 def oracle_accepted_pairs(
-    docs: Iterable[dict[str, Any]], ruleset: RuleSet | None = None
+    docs: Iterable[dict[str, Any]],
+    ruleset: RuleSet | None = None,
+    want_isa: set[str] | None = None,
 ) -> list[dict[str, Any]]:
     """Accepted (qid, osm) pairs after all per-item and cross-item filters."""
     ruleset = ruleset or RuleSet()
@@ -79,16 +81,21 @@ def oracle_accepted_pairs(
     items_by_qid = {i["qid"]: i for i in items}
 
     chosen: dict[str, dict] = {}
+    # the 1:1 gate counts every stored candidate occurrence across all
+    # items (matcher.py:1430-1443), not just chosen ones
+    osm_count: Counter[tuple] = Counter()
     for qid, rows in per_item.items():
-        cands = score_item_candidates(items_by_qid[qid], rows, ruleset)
+        cands = score_item_candidates(
+            items_by_qid[qid], rows, ruleset, want_isa=want_isa
+        )
         if not cands:
             continue
+        osm_count.update((c["osm_type"], c["osm_id"]) for c in cands)
         cand, note = choose_single_candidate(items_by_qid[qid], cands)
         if cand is not None:
             chosen[qid] = cand
 
     # cross-item 1:1 constraint (matcher.py:1473-1475)
-    osm_count = Counter((c["osm_type"], c["osm_id"]) for c in chosen.values())
     accepted = []
     for qid, c in sorted(chosen.items()):
         if osm_count[(c["osm_type"], c["osm_id"])] > 1:

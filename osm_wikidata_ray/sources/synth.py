@@ -108,6 +108,7 @@ class _Scenario:
         planet_table: str | None = None,
         north_m: float = 0.0,
         east_m: float = 0.0,
+        src_id: int | None = None,
     ) -> str:
         self._osm_seq += 1
         osm_id = self.index * 100 + self._osm_seq
@@ -122,6 +123,8 @@ class _Scenario:
             "lon": lon,
             "planet_table": planet_table,
         }
+        if src_id is not None:
+            obj["src_id"] = src_id
         doc_id, spans = encode_osm_doc(obj)
         self._interleave_noise(spans, f"{osm_type}/{osm_id}")
         self.docs.append((doc_id, finalize_spans(spans)))
@@ -163,16 +166,22 @@ class _Scenario:
 # --- scenario family builders (name, builder) ---
 
 def fam_exact(s: _Scenario) -> None:
-    """Exact name match (ref tests/test_match.py:213-231)."""
+    """Exact name match (ref tests/test_match.py:213-231).
+
+    Carries a second (de) label so the language-count tail cut
+    (place.py:1095-1101) has a sub-10% language to suppress."""
     name = f"{s.stem} Park"
-    q = s.add_wd({name: [("label", "en")]}, ["leisure=park"])
+    q = s.add_wd({name: [("label", "en"), ("label", "de")]}, ["leisure=park"])
     o = s.add_osm({"name": name, "leisure": "park"}, north_m=60)
     s.expect(q, o, "match", "name-good")
 
 
 def fam_case(s: _Scenario) -> None:
-    """Case/punctuation-only differences."""
-    q = s.add_wd({f"{s.stem} Hotel": [("label", "en")]}, ["tourism=hotel"])
+    """Case/punctuation-only differences.  Carries an sv label (language
+    stats: counted, unlike {ceb,sv}-only items, place.py:1085-1088)."""
+    q = s.add_wd(
+        {f"{s.stem} Hotel": [("label", "en"), ("label", "sv")]}, ["tourism=hotel"]
+    )
     o = s.add_osm({"name": f"{s.stem.upper()} HOTEL", "tourism": "hotel"}, east_m=40)
     s.expect(q, o, "match", "name-good")
 
@@ -454,6 +463,74 @@ def fam_extract_address(s: _Scenario) -> None:
     s.expect(q, o, "match", "address-extract")
 
 
+def fam_conflict_shadow(s: _Scenario) -> None:
+    """The 1:1 gate counts every stored candidate, not just chosen ones
+    (matcher.py:1430-1443): A's chosen object is also a non-chosen candidate
+    of B (who has two candidates and chooses none) — A is still rejected."""
+    name = f"{s.stem} Hall"
+    alias = f"{s.stem} Annex"
+    qa = s.add_wd({name: [("label", "en")]}, ["amenity=community_centre"], n=0)
+    qb = s.add_wd(
+        {name: [("label", "en")], alias: [("alias", "en")]},
+        ["amenity=community_centre"],
+        n=1,
+        east_m=90,
+    )
+    o = s.add_osm(
+        {"name": name, "amenity": "community_centre"}, osm_type="way", north_m=45
+    )
+    o2 = s.add_osm(
+        {"name": alias, "amenity": "community_centre"}, osm_type="way", east_m=120
+    )
+    s.expect(qa, o, "nonmatch", "veto:1to1-conflict")
+    s.expect(qb, o, "nonmatch", "veto:multi-candidate")
+    s.expect(qb, o2, "nonmatch", "veto:multi-candidate")
+
+
+def fam_line_polygon(s: _Scenario) -> None:
+    """Line-vs-polygon dedup: the same source geometry loaded into both the
+    line and the polygon table keeps only the polygon row (reference
+    filter_candidates, matcher.py:1222-1234)."""
+    name = f"{s.stem} Park"
+    q = s.add_wd({name: [("label", "en")]}, ["leisure=park"])
+    src = s.index * 100 + 90
+    o_line = s.add_osm(
+        {"name": name, "leisure": "park"},
+        osm_type="way", planet_table="line", north_m=40, src_id=src,
+    )
+    o_poly = s.add_osm(
+        {"name": name, "leisure": "park"},
+        osm_type="way", planet_table="polygon", north_m=55, src_id=src,
+    )
+    s.expect(q, o_poly, "match", "name-good")
+    s.expect(q, o_line, "nonmatch", "veto:line-vs-polygon")
+
+
+def fam_tidy_only(s: _Scenario) -> None:
+    """Adversarial blocking fixture: the pair matches only after tidy_name
+    rewrites every word ("Mount No. 4" vs "Mt Number 4", match.py:103-177) —
+    no shared raw token, no shared normalized full name.  Recalled by the
+    tidied-full-name blocking key (functions/keys.py)."""
+    q = s.add_wd({"Mount No. 4": [("label", "en")]}, ["natural=peak"])
+    o = s.add_osm({"name": "Mt Number 4", "natural": "peak"}, north_m=45)
+    s.expect(q, o, "match", "name-good")
+
+
+def fam_ceb_stub(s: _Scenario) -> None:
+    """cebwiki/svwiki-only stub with no OSM counterpart — exercises the
+    {ceb,sv} item suppression in language counts (place.py:1085-1088) and
+    provides skip_item_during_match material (model.py:972-1006)."""
+    s.add_wd(
+        {
+            f"{s.stem} Bukid": [
+                ("label", "ceb"), ("label", "sv"), ("sitelink", "cebwiki"),
+                ("sitelink", "svwiki"),
+            ]
+        },
+        ["natural=peak"],
+    )
+
+
 FAMILIES: list[tuple[str, Callable[[_Scenario], None]]] = [
     ("exact", fam_exact),
     ("case", fam_case),
@@ -476,6 +553,10 @@ FAMILIES: list[tuple[str, Callable[[_Scenario], None]]] = [
     ("prefer_station", fam_prefer_station),
     ("already_tagged", fam_already_tagged),
     ("extract_address", fam_extract_address),
+    ("line_polygon", fam_line_polygon),
+    ("tidy_only", fam_tidy_only),
+    ("ceb_stub", fam_ceb_stub),
+    ("conflict_shadow", fam_conflict_shadow),
 ]
 HOT_KEY_EVERY = 97  # scenario indices divisible by this run the hot-key family
 

@@ -193,7 +193,10 @@ def _emit_pairs_for_key(group: pd.DataFrame) -> pd.DataFrame | None:
             continue
         idx = np.flatnonzero(mask)
         if len(idx) > CANDIDATE_LIMIT:
-            order = np.argsort(dists[idx], kind="stable")[:CANDIDATE_LIMIT]
+            # tie-break equal distances by osm_uid so the cap boundary is
+            # shuffle-order independent (determinism invariant; matches the
+            # (dist, osm_uid) ordering used in ScorerReducer.score_item)
+            order = np.lexsort((osm_ids[idx], dists[idx]))[:CANDIDATE_LIMIT]
             idx = idx[order]
         for j in idx:
             out["qid"].append(ids[i])

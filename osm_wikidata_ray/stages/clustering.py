@@ -31,22 +31,35 @@ from ..util import default_partitions
 def resolve_conflicts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
     """chosen candidates → accepted pairs after the cross-item 1:1 gate.
 
-    The conflict set (OSM objects claimed by >1 item) is tiny by
+    The reference counts every stored candidate occurrence across all items
+    (matcher.py:1430-1443), so a chosen match whose OSM object is also a
+    *non-chosen* candidate of another item is rejected too
+    (matcher.py:1473-1475) — the count pass therefore runs over ALL
+    candidate rows, not just chosen ones.  Reject-reason rows (present only
+    when keep_rejects=True) are not stored candidates and are excluded.
+
+    The conflict set (OSM objects appearing under >1 item) is tiny by
     construction — a column-pruned count pass collects it to the driver and
     broadcasts it into a vectorized map, avoiding a third all-to-all
     shuffle.  (For a pathological input where the conflict set itself were
     huge, the count pass still bounds it to distinct multiply-claimed ids.)
     """
-    chosen = candidates.filter(expr="chosen == True").materialize()
+    candidates = candidates.materialize()
+    chosen = candidates.filter(expr="chosen == True")
 
     def to_uid(batch: pa.Table) -> pa.Table:
+        # keep_rejects rows carry a "reject: …" note and are not candidates
+        mask = pc.invert(pc.starts_with(batch.column("note"), "reject: "))
+        batch = batch.filter(mask)
         uid = pc.binary_join_element_wise(
             batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
         )
+        # one count per (item, osm object): within-item candidate lists are
+        # already deduped by the scorer's seen set (matcher.py:631)
         return pa.table({"osm_uid": uid})
 
     counts = (
-        chosen.map_batches(to_uid, batch_format="pyarrow")
+        candidates.map_batches(to_uid, batch_format="pyarrow")
         .groupby("osm_uid", num_partitions=16)
         .count()
         .map_batches(

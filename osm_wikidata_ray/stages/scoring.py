@@ -35,7 +35,7 @@ from .blocking import add_bucket
 CANDIDATE_COLUMNS = [
     "qid", "osm_type", "osm_id", "dist",
     "identifier_match", "address_match", "name_match", "matching_tags",
-    "chosen", "note", "already_tagged",
+    "osm_langs", "chosen", "note", "already_tagged",
     "wd_doc_id", "wd_checksum", "osm_doc_id", "osm_checksum",
 ]
 
@@ -172,9 +172,11 @@ class ScorerReducer:
         self,
         ruleset_kwargs: dict[str, Any] | None = None,
         keep_rejects: bool = False,
+        want_isa: set[str] | frozenset[str] | None = None,
     ) -> None:
         self.ruleset = RuleSet(**(ruleset_kwargs or {}))
         self.keep_rejects = keep_rejects
+        self.want_isa = set(want_isa) if want_isa else None
 
     def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
         recs = bucket.loc[bucket["kind"] == "r"].drop_duplicates("join_key")
@@ -220,7 +222,8 @@ class ScorerReducer:
 
         reject_sink: list[dict[str, Any]] | None = [] if self.keep_rejects else None
         candidates = score_item_candidates(
-            item, osm_rows, self.ruleset, rejects=reject_sink
+            item, osm_rows, self.ruleset, rejects=reject_sink,
+            want_isa=self.want_isa,
         )
         chosen, note = (None, "")
         if candidates:
@@ -241,6 +244,10 @@ class ScorerReducer:
             out["address_match"].append(c["address_match"])  # tri-state
             out["name_match"].append(json.dumps(c["name_match"], ensure_ascii=False))
             out["matching_tags"].append(json.dumps(sorted(c["matching_tags"])))
+            # candidate languages = name:xx tag keys (model.py:1243-1244)
+            out["osm_langs"].append(json.dumps(sorted(
+                k[5:] for k in c["tags"] if k.startswith("name:")
+            )))
             out["chosen"].append(is_chosen)
             out["note"].append("" if is_chosen else note)
             out["already_tagged"].append("wikidata" in c["tags"])
@@ -259,6 +266,7 @@ class ScorerReducer:
             out["address_match"].append(None)
             out["name_match"].append("{}")
             out["matching_tags"].append("[]")
+            out["osm_langs"].append("[]")
             out["chosen"].append(False)
             out["note"].append("reject: " + r["reject"])
             out["already_tagged"].append(False)
@@ -282,13 +290,16 @@ def scorer_task(
     bucket: pd.DataFrame,
     ruleset_kwargs: dict | None = None,
     keep_rejects: bool = False,
+    want_isa: frozenset[str] | None = None,
 ) -> pd.DataFrame:
     """Task-form scorer with a per-worker-process cached ScorerReducer."""
-    key = (tuple(sorted((ruleset_kwargs or {}).items())), keep_rejects)
+    key = (tuple(sorted((ruleset_kwargs or {}).items())), keep_rejects, want_isa)
     scorer = _scorer_cache.get(key)
     if scorer is None:
         scorer = _scorer_cache.setdefault(
-            key, ScorerReducer(ruleset_kwargs, keep_rejects=keep_rejects)
+            key,
+            ScorerReducer(ruleset_kwargs, keep_rejects=keep_rejects,
+                          want_isa=want_isa),
         )
     return scorer(bucket)
 
@@ -300,6 +311,7 @@ def score_attached_pairs(
     scorer_concurrency: int | tuple[int, int] | None,
     ruleset_kwargs: dict[str, Any] | None,
     keep_rejects: bool = False,
+    want_isa: set[str] | None = None,
 ) -> "ray.data.Dataset":
     """Stage B: attach WD payloads and score (process-cached task state)."""
     wd_recs = records.filter(expr="side == 'wd'").select_columns(_REC_COLUMNS)
@@ -314,7 +326,11 @@ def score_attached_pairs(
         .groupby("bucket", num_partitions=n_parts)
         .map_groups(
             scorer_task,
-            fn_kwargs={"ruleset_kwargs": ruleset_kwargs, "keep_rejects": keep_rejects},
+            fn_kwargs={
+                "ruleset_kwargs": ruleset_kwargs,
+                "keep_rejects": keep_rejects,
+                "want_isa": frozenset(want_isa) if want_isa else None,
+            },
             batch_format="pandas",
         )
     )
@@ -324,8 +340,8 @@ def _empty_candidates() -> pd.DataFrame:
     dtypes = {
         "qid": "object", "osm_type": "object", "osm_id": "int64",
         "dist": "float64", "identifier_match": "bool", "address_match": "boolean",
-        "name_match": "object", "matching_tags": "object", "chosen": "bool",
-        "note": "object", "already_tagged": "bool",
+        "name_match": "object", "matching_tags": "object", "osm_langs": "object",
+        "chosen": "bool", "note": "object", "already_tagged": "bool",
         "wd_doc_id": "object", "wd_checksum": "object",
         "osm_doc_id": "object", "osm_checksum": "object",
     }

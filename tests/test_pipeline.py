@@ -184,8 +184,11 @@ def test_isa_facets_and_lang_counts(ray_session, corpus):
 
     docs, _ = corpus
     ds = ray_session.data.from_items(docs).repartition(4)
-    langs = language_counts(ds).to_pandas()
+    langs = language_counts(ds)  # small pandas DataFrame
     assert "en" in set(langs["lang"])
+    # reference semantics: sub-10% tail languages are cut (the de/sv labels
+    # planted by fam_exact/fam_case are ~4% of items), en always survives
+    assert set(langs["lang"]) == {"en"}, langs
     records = ds.map_batches(parse_docs, batch_format="pyarrow")
     facets = isa_facet_counts(records).to_pandas()
     assert "Q55488" in set(facets["isa"])  # station scenarios plant P31
@@ -226,3 +229,75 @@ def test_pipeline_deterministic(ray_session, corpus):
                       for r in acc.itertuples())
 
     assert run_once() == run_once()
+
+
+def test_want_isa_skips_stub_items(ray_session):
+    """skip_item_during_match gating (reference place.py:1198-1200 →
+    model.py:972-1006): with a want_isa filter, a cebwiki-only stub outside
+    the filter is skipped before matching; without want_isa it matches."""
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+    from osm_wikidata_ray.sources.oracle import oracle_accepted_pairs
+    from osm_wikidata_ray.sources.synth import _Scenario
+    import random
+
+    s = _Scenario(5000, random.Random("skip"))
+    # a museum inside want_isa — always matched
+    q_museum = s.add_wd(
+        {f"{s.stem} Museum": [("label", "en")]}, ["tourism=museum"],
+        n=0, isa=["Q33506"],
+    )
+    o_museum = s.add_osm({"name": f"{s.stem} Museum", "tourism": "museum"},
+                         north_m=40)
+    # a cebwiki-only stub outside want_isa — skipped only under the filter
+    q_stub = s.add_wd(
+        {f"{s.stem} Bukid": [("label", "ceb"), ("sitelink", "cebwiki")]},
+        ["natural=peak"], n=1, east_m=900, isa=["Q54050"],
+    )
+    o_stub = s.add_osm({"name": f"{s.stem} Bukid", "natural": "peak"},
+                       east_m=940)
+    docs = [{"doc_id": d, "spans": sp} for d, sp in s.docs]
+
+    def run(want_isa):
+        ds = ray_session.data.from_items(docs).repartition(2)
+        res = run_linkage(ds, with_clusters=False, scorer_concurrency=(1, 2),
+                          want_isa=want_isa)
+        acc = res.accepted.to_pandas()
+        return {(r.qid, f"{r.osm_type}/{r.osm_id}") for r in acc.itertuples()}
+
+    unfiltered = run(None)
+    assert unfiltered == {(q_museum, o_museum), (q_stub, o_stub)}
+    filtered = run({"Q33506"})
+    assert filtered == {(q_museum, o_museum)}
+
+    # oracle mirrors the gating
+    oracle = {
+        (p["qid"], f"{p['osm_type']}/{p['osm_id']}")
+        for p in oracle_accepted_pairs(docs, want_isa={"Q33506"})
+    }
+    assert oracle == filtered
+
+
+def test_blocking_recall_on_rewrite_pairs():
+    """Adversarial blocking recall: pairs that match only through rule-
+    cascade rewrites (no shared raw token) must still share a blocking key.
+    Reports recall over the adversarial set — the gap ADVICE.md flagged
+    between name-key blocking and the reference's spatial candidate SQL."""
+    from osm_wikidata_ray.functions.keys import osm_block_keys, wd_block_keys
+    from osm_wikidata_ray.rules.names import name_match
+
+    adversarial = [
+        # (wd name, osm name) — every token rewritten by tidy_name
+        ("Mount No. 4", "Mt Number 4"),
+        ("Saint Fiacre's", "St Fiacre"),
+        ("Mount Saint Helena", "Mt St Helena"),
+    ]
+    found = 0
+    for wd_name, osm_name in adversarial:
+        assert name_match(osm_name, wd_name), (osm_name, wd_name)
+        wd_keys = set(wd_block_keys({"names": {wd_name: [("label", "en")]}},
+                                    with_geo=False))
+        osm_keys = set(osm_block_keys({"name": osm_name}))
+        if wd_keys & osm_keys:
+            found += 1
+    recall = found / len(adversarial)
+    assert recall == 1.0, f"blocking recall on rewrite pairs: {recall}"
