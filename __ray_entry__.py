@@ -18,6 +18,8 @@ Query families:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from typing import Any
 
@@ -32,14 +34,30 @@ def _sf_from_dir(sf_dir: str) -> str:
     return m.group(1) if m else "0.01"
 
 
+def _docs_dump_path(n: int) -> str:
+    return f"/tmp/graft_synth_docs_{n}.parquet"
+
+
+def _ensure_docs_dump(n: int) -> str:
+    """Write the deterministic synth corpus once per size; both the Ray
+    queries and the DuckDB oracle SQL read this SAME parquet file, so the
+    two sides provably see identical input (testdata dirs are read-only,
+    hence /tmp)."""
+    path = _docs_dump_path(n)
+    if not os.path.exists(path):
+        from osm_wikidata_ray.sources.synth import write_corpus_parquet
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_corpus_parquet(tmp, None, n)
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    return path
+
+
 def _synth_docs_ds(sf_dir: str):
     import ray
 
-    from osm_wikidata_ray.sources.synth import generate_corpus
-
     n = _SF_DOCS.get(_sf_from_dir(sf_dir), 1200)
-    docs, _gold = generate_corpus(n)
-    return ray.data.from_items(docs).repartition(8)
+    return ray.data.read_parquet(_ensure_docs_dump(n)).repartition(8)
 
 
 _linkage_cache: dict[tuple[str, bool], Any] = {}
@@ -102,7 +120,15 @@ def _linkage_span_roundtrip(sf_dir: str):
 def _linkage_lang_counts(sf_dir: str):
     from osm_wikidata_ray.pipelines.linkage import language_counts
 
-    return language_counts(_synth_docs_ds(sf_dir)).sort(["lang"])
+    # full reference semantics (ceb/sv suppression, tail cut, top-10);
+    # returns a small pandas DataFrame (metrics-sized)
+    return language_counts(_synth_docs_ds(sf_dir))
+
+
+def _linkage_osm_lang_counts(sf_dir: str):
+    from osm_wikidata_ray.pipelines.linkage import osm_language_counts
+
+    return osm_language_counts(_linkage(sf_dir).candidates).sort(["lang"])
 
 
 def _linkage_isa_facets(sf_dir: str):
@@ -154,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": lambda sf: td.dedup_embedding_cosine(sf).sort(
             ["vec_a", "vec_b"]
         ),
+        "dedup_embedding_exact": lambda sf: td.dedup_embedding_exact(sf).sort(
+            ["vec_a", "vec_b"]
+        ),
         # compare the top-k membership; cosine itself is float32 in the
         # DuckDB oracle and float64 here, so the score column stays internal
         "ann_topk": lambda sf: td.ann_topk(sf)
@@ -169,13 +198,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "session_no"]
         ),
         "linkage_lang_counts": _linkage_lang_counts,
+        "linkage_osm_lang_counts": _linkage_osm_lang_counts,
         "linkage_isa_facets": _linkage_isa_facets,
     }
 
 
+def _lang_profile_values() -> str:
+    """VALUES list for the lang_id oracle, derived from the SAME profile
+    tables the engine uses (single source of truth)."""
+    from osm_wikidata_ray.pipelines.training_data import LangId
+
+    rows = []
+    for prio, (lang, words) in enumerate(LangId.PROFILES.items()):
+        rows.extend(f"('{lang}', {prio}, '{w}')" for w in sorted(words))
+    return ", ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     punct = "[^a-zA-Z0-9 ]"
+    # the linkage oracles read the same parquet dump the Ray queries read;
+    # the driver compares at sf=0.01 → 1200-doc corpus
+    dump = f"'{_ensure_docs_dump(_SF_DOCS['0.01'])}'"
+    # sha256 over (kind, text, media_ref, order) — functions/spans.span_checksum
+    ck = (
+        "sha256(list_aggregate(list_transform(spans, s -> s.kind || chr(31) || "
+        "coalesce(s.text, '') || chr(31) || coalesce(s.media_ref, '') || chr(30)), "
+        "'string_agg', ''))"
+    )
     return {
+        "linkage_parse": f"""
+            WITH docs AS (SELECT * FROM read_parquet({dump})),
+            parsed AS (
+              SELECT doc_id,
+                     list_filter(spans, s -> s.kind = 'side')[1].text AS side,
+                     list_filter(spans, s -> s.kind = 'id')[1].text AS entity_id,
+                     {ck} AS span_checksum
+              FROM docs)
+            SELECT side, entity_id, doc_id, span_checksum FROM parsed
+            WHERE side IN ('wd', 'osm') ORDER BY doc_id
+        """,
+        "linkage_span_roundtrip": f"""
+            SELECT doc_id, {ck} AS span_checksum, len(spans) AS n_spans
+            FROM read_parquet({dump}) ORDER BY doc_id
+        """,
+        "linkage_lang_counts": f"""
+            WITH docs AS (SELECT * FROM read_parquet({dump})),
+            su AS (SELECT doc_id, unnest(spans) AS s FROM docs),
+            wd_docs AS (SELECT DISTINCT doc_id FROM su
+                        WHERE s.kind = 'side' AND s.text = 'wd'),
+            ll AS (
+              SELECT DISTINCT su.doc_id, split_part(su.s.text, chr(9), 2) AS lang
+              FROM su JOIN wd_docs USING (doc_id)
+              WHERE su.s.kind = 'name'
+                AND split_part(su.s.text, chr(9), 1) = 'label'
+                AND split_part(su.s.text, chr(9), 2) <> ''),
+            keep_items AS (
+              SELECT doc_id FROM ll GROUP BY doc_id
+              HAVING NOT (list_sort(list(DISTINCT lang)) = ['ceb', 'sv'])),
+            counts AS (
+              SELECT lang, count(*)::BIGINT AS n
+              FROM ll JOIN keep_items USING (doc_id)
+              WHERE lang NOT LIKE '%-%' AND lang <> 'ceb' GROUP BY lang),
+            ic AS (SELECT count(*) AS item_count FROM wd_docs)
+            SELECT lang, n FROM counts, ic
+            WHERE item_count <= 10 OR lang = 'en' OR n * 1.0 / item_count > 0.1
+            ORDER BY n DESC, lang LIMIT 10
+        """,
+        "linkage_isa_facets": f"""
+            WITH su AS (SELECT doc_id, unnest(spans) AS s
+                        FROM read_parquet({dump}))
+            SELECT split_part(s.text, chr(9), 2) AS isa, count(*)::BIGINT AS "sum(n)"
+            FROM su
+            WHERE s.kind = 'claim' AND starts_with(s.text, 'P31' || chr(9))
+            GROUP BY 1 ORDER BY isa
+        """,
+        "media_features": f"""
+            WITH su AS (SELECT doc_id, unnest(spans) AS s
+                        FROM read_parquet({dump}))
+            SELECT doc_id || '#' || s."offset" AS media_id FROM su
+            WHERE s.kind = 'media' ORDER BY media_id
+        """,
+        "lang_id": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       (regexp_extract_all(text, '[a-zA-Zäöüßéèàçñáíóú]+'))[1:200],
+                       x -> lower(x))) AS w
+              FROM documents
+            ), dw AS (SELECT DISTINCT doc_id, w FROM toks),
+            profiles(lang, prio, w) AS (VALUES {_lang_profile_values()}),
+            scores AS (
+              SELECT dw.doc_id, p.lang, p.prio, count(*) AS score
+              FROM dw JOIN profiles p USING (w)
+              GROUP BY dw.doc_id, p.lang, p.prio
+            ), best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, prio) AS rn
+              FROM scores)
+            SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(list_aggregate(
+                     list_sort(list_transform(
+                       range(0, greatest(length(text) - 8, 1), 4),
+                       i -> md5(substr(text, i + 1, 8))))[1:4],
+                     'string_agg', '|')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
         "doc_stats": f"""
             SELECT doc_id,
                    length(text) AS n_chars_calc,
@@ -199,6 +333,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # exact all-pairs word-3-gram Jaccard ≥ 0.8 — the engine's LSH
+        # candidate stage recalls these with P[miss] ≈ (1-J⁴)¹⁶ ≤ 2e-4 at
+        # J = 0.8, so the exact self-join is a valid oracle
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents),
+            w AS (SELECT doc_id, generate_subscripts(words, 1) AS pos,
+                         unnest(words) AS w
+                  FROM toks WHERE len(words) >= 3),
+            sh3 AS (
+              SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+              FROM w a
+              JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            short AS (SELECT doc_id, array_to_string(words, ' ') AS shingle
+                      FROM toks WHERE len(words) BETWEEN 1 AND 2),
+            sh AS (SELECT DISTINCT doc_id, shingle
+                   FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM short)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, ni::DOUBLE / (sa.n + sb.n - ni) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_embedding_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY vec_a, vec_b
         """,
         "ann_topk": """
             WITH q AS (

@@ -64,7 +64,14 @@ def run_linkage(
     ruleset_kwargs: dict[str, Any] | None = None,
     want_isa: set[str] | None = None,
 ) -> LinkageResult:
-    """Assemble the full linkage pipeline over a docs Dataset."""
+    """Assemble the full linkage pipeline over a docs Dataset.
+
+    Large-scale mode: pass ``checkpoint_dir``.  The checkpointed path spills
+    each stage to partitioned Parquet instead of pinning the parsed corpus
+    in the object store (the default in-memory path materializes between
+    all-to-all stages — fine up to ~memory×spill, but at 100 TB the Parquet
+    spill with per-partition resume is the recommended configuration; it is
+    also what the CLI uses)."""
     ckpt = Checkpoints(checkpoint_dir)
 
     # parsed records (with payloads) are consumed by three downstream paths

@@ -92,9 +92,12 @@ class MediaDecoder:
             ids.append(media_id)
         return pa.table(
             {
-                "media_id": pa.array(ids),
+                "media_id": pa.array(ids, pa.string()),
                 "feature": pa.array(feats, pa.list_(pa.float32())),
-            }
+            },
+            schema=pa.schema(
+                [("media_id", pa.string()), ("feature", pa.list_(pa.float32()))]
+            ),
         )
 
 

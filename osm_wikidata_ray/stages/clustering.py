@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -101,15 +102,17 @@ def accepted_pairs(resolved: "ray.data.Dataset") -> "ray.data.Dataset":
 def _pairs_to_adjacency(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Accepted pairs → symmetric adjacency rows (node, nbr)."""
 
+    schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+
     def to_adj(batch: pa.Table) -> pa.Table:
-        u = batch.column("qid").to_pylist()
-        v = [
-            f"{t}/{i}"
-            for t, i in zip(
-                batch.column("osm_type").to_pylist(), batch.column("osm_id").to_pylist()
-            )
-        ]
-        return pa.table({"node": u + v, "nbr": v + u})
+        u = pc.cast(batch.column("qid"), pa.string())
+        v = pc.binary_join_element_wise(
+            batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
+        )
+        return pa.concat_tables(
+            [pa.table({"node": u, "nbr": v}, schema=schema),
+             pa.table({"node": v, "nbr": u}, schema=schema)]
+        )
 
     return pairs.map_batches(to_adj, batch_format="pyarrow")
 
@@ -135,12 +138,16 @@ def _label_checksum(labels: "ray.data.Dataset") -> int:
     rounds ⟺ converged."""
 
     def crc(batch: pa.Table) -> pa.Table:
-        total = sum(
-            zlib.crc32(f"{n}\x1f{l}".encode())
-            for n, l in zip(
-                batch.column("node").to_pylist(), batch.column("label").to_pylist()
-            )
+        import pandas as _pd
+
+        joined = pc.binary_join_element_wise(
+            batch.column("node"), batch.column("label"), "\x1f"
         )
+        h = _pd.util.hash_array(
+            joined.to_numpy(zero_copy_only=False), categorize=False
+        )
+        # sum in uint64 wrap-around, exported as int64 (order-insensitive)
+        total = int(h.sum(dtype=np.uint64).astype(np.int64))
         return pa.table({"crc": pa.array([total], pa.int64())})
 
     parts = labels.map_batches(crc, batch_format="pyarrow")
@@ -157,16 +164,22 @@ def clusters_from_disjoint_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset
     invariant of the gate, not an assumption; the general algorithm below
     handles arbitrary pair graphs."""
 
+    schema = pa.schema([("node", pa.string()), ("cluster_id", pa.string())])
+
     def emit(batch: pa.Table) -> pa.Table:
-        u = batch.column("qid").to_pylist()
-        v = [
-            f"{t}/{i}"
-            for t, i in zip(
-                batch.column("osm_type").to_pylist(), batch.column("osm_id").to_pylist()
+        u = pc.cast(batch.column("qid"), pa.string())
+        v = pc.binary_join_element_wise(
+            batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
+        )
+        labels = pa.array(
+            np.minimum(
+                u.to_numpy(zero_copy_only=False), v.to_numpy(zero_copy_only=False)
             )
-        ]
-        labels = [min(a, b) for a, b in zip(u, v)]
-        return pa.table({"node": u + v, "cluster_id": labels + labels})
+        )
+        return pa.concat_tables(
+            [pa.table({"node": u, "cluster_id": labels}, schema=schema),
+             pa.table({"node": v, "cluster_id": labels}, schema=schema)]
+        )
 
     return pairs.map_batches(emit, batch_format="pyarrow")
 
