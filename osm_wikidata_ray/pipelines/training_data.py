@@ -444,16 +444,14 @@ def _attach_by_key(
     )
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
-    """MinHash-LSH near-dup pairs: thin band shuffle → capped in-bucket
-    candidate pairs → signatures attached to the (few) candidates via
-    bucketed merges → estimated-Jaccard verification ≥ threshold.
-    Returns (doc_a, doc_b)."""
-    n_parts = default_partitions()
+def _minhash_candidates(
+    sigs_ds: "ray.data.Dataset", n_parts: int
+) -> "ray.data.Dataset":
+    """Distinct LSH candidate pairs from the thin band shuffle (materialized
+    — chained all-to-all stages schedule pathologically, see CLAUDE.md)."""
     from ..stages.blocking import add_bucket
 
-    sigs_ds = minhash_signatures(sf_dir).materialize()
-    cand = (
+    return (
         minhash_bands(sigs_ds)
         .map_batches(
             lambda b: add_bucket(b, "band_key", n_parts * 4), batch_format="pyarrow"
@@ -463,15 +461,117 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
         .groupby(["doc_a", "doc_b"], num_partitions=n_parts)
         .count()
         .select_columns(["doc_a", "doc_b"])
+        .materialize()
     )
-    with_a = _attach_by_key(
-        cand, _PAIR_SCHEMA, sigs_ds, "doc_a", "sig", "sig_a", n_parts, pa.binary()
+
+
+def _attach_pair_payloads(
+    pairs: "ray.data.Dataset",
+    ref: "ray.data.Dataset",
+    payload_col: str,
+    n_parts: int,
+    payload_type: "pa.DataType",
+) -> "ray.data.Dataset":
+    """Attach ref[payload_col] to BOTH endpoints of (doc_a, doc_b) pairs in
+    ONE pass over the ref corpus: each pair ships twice (keyed by doc_a and
+    doc_b), each ref payload ships once; a second tiny pairs-only groupby
+    pivots the two sides back together → (doc_a, doc_b, payload_a,
+    payload_b).  This is the payloads-ship-once pattern with half the
+    corpus shuffles of two sequential attaches."""
+    from ..stages.blocking import add_bucket_int
+
+    half_schema = pa.schema(
+        [("join_key", pa.int64()), ("kind", pa.string()),
+         ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("payload", payload_type)]
     )
-    with_b = _attach_by_key(
-        with_a,
-        _PAIR_SCHEMA.append(pa.field("sig_a", pa.binary())),
-        sigs_ds, "doc_b", "sig", "sig_b", n_parts, pa.binary(),
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch.column("doc_a"), pa.int64())
+        b = pc.cast(batch.column("doc_b"), pa.int64())
+        nulls = pa.nulls(len(batch), payload_type)
+        ka = pa.table(
+            {"join_key": a, "kind": pa.array(["a"] * len(batch)),
+             "doc_a": a, "doc_b": b, "payload": nulls},
+            schema=half_schema,
+        )
+        kb = pa.table(
+            {"join_key": b, "kind": pa.array(["b"] * len(batch)),
+             "doc_a": a, "doc_b": b, "payload": nulls},
+            schema=half_schema,
+        )
+        return pa.concat_tables([ka, kb])
+
+    def tag_ref(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {"join_key": pc.cast(batch.column("doc_id"), pa.int64()),
+             "kind": pa.array(["r"] * n),
+             "doc_a": pa.nulls(n, pa.int64()),
+             "doc_b": pa.nulls(n, pa.int64()),
+             "payload": pc.cast(batch.column(payload_col), payload_type)},
+            schema=half_schema,
+        )
+
+    side_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("kind", pa.string()), ("payload", payload_type)]
     )
+
+    def merge(bucket: pd.DataFrame) -> pa.Table:
+        refs = bucket.loc[bucket["kind"] == "r", ["join_key", "payload"]]
+        p = bucket.loc[bucket["kind"] != "r", ["doc_a", "doc_b", "kind", "join_key"]]
+        merged = p.merge(
+            refs.drop_duplicates("join_key"), on="join_key", how="inner"
+        ).drop(columns=["join_key"])
+        return pa.Table.from_pandas(merged, schema=side_schema, preserve_index=False)
+
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         (f"{payload_col}_a", payload_type), (f"{payload_col}_b", payload_type)]
+    )
+
+    def pivot(group: pd.DataFrame) -> pa.Table:
+        a_side = group.loc[group["kind"] == "a", ["doc_a", "doc_b", "payload"]]
+        b_side = group.loc[group["kind"] == "b", ["doc_a", "doc_b", "payload"]]
+        merged = a_side.merge(
+            b_side, on=["doc_a", "doc_b"], how="inner", suffixes=("_l", "_r")
+        ).rename(columns={
+            "payload_l": f"{payload_col}_a", "payload_r": f"{payload_col}_b",
+        })
+        return pa.Table.from_pandas(merged, schema=pair_schema, preserve_index=False)
+
+    unioned = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        ref.map_batches(tag_ref, batch_format="pyarrow")
+    )
+    sided = (
+        unioned.map_batches(
+            lambda b: add_bucket_int(b, "join_key", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(merge, batch_format="pandas")
+        .materialize()  # barrier between the two all-to-all exchanges
+    )
+    return (
+        sided.map_batches(
+            lambda b: add_bucket_int(b, "doc_a", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(pivot, batch_format="pandas")
+    )
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
+    """MinHash-LSH near-dup pairs: thin band shuffle → capped in-bucket
+    candidate pairs → signatures attached to the (few) candidates in one
+    corpus pass → estimated-Jaccard verification ≥ threshold.
+    Returns (doc_a, doc_b)."""
+    n_parts = default_partitions()
+    sigs_ds = minhash_signatures(sf_dir).materialize()
+    cand = _minhash_candidates(sigs_ds, n_parts)
+    attached = _attach_pair_payloads(cand, sigs_ds, "sig", n_parts, pa.binary())
 
     def verify(batch: pd.DataFrame) -> pa.Table:
         if batch.empty:
@@ -486,26 +586,22 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
         keep = batch.loc[est >= threshold, ["doc_a", "doc_b"]]
         return pa.Table.from_pandas(keep, schema=_PAIR_SCHEMA, preserve_index=False)
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    return attached.map_batches(verify, batch_format="pandas")
 
 
 def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
     """Exact word-3-gram Jaccard over LSH candidate pairs — the two-stage
-    filter-verify pattern (LSH recall at a low candidate threshold, exact
-    precision).  Texts attach to the surviving pairs via bucketed merges;
-    no worker ever loads the full corpus (VERDICT r1 fix)."""
+    filter-verify pattern (band-level LSH recall, exact precision).  Texts
+    attach to the candidate pairs in one corpus pass; no worker ever loads
+    the full corpus (VERDICT r1 fix)."""
     n_parts = default_partitions()
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = dedup_minhash(sf_dir, threshold=0.5)
-    with_a = _attach_by_key(
-        cand, _PAIR_SCHEMA, docs, "doc_a", "text", "text_a", n_parts, pa.string()
-    )
-    with_b = _attach_by_key(
-        with_a,
-        _PAIR_SCHEMA.append(pa.field("text_a", pa.string())),
-        docs, "doc_b", "text", "text_b", n_parts, pa.string(),
-    )
-
+    # band-level candidates go straight to the exact verify — the
+    # estimated-Jaccard prefilter would cost a second signature attach and
+    # the exact verify provides all the precision
+    sigs_ds = minhash_signatures(sf_dir).materialize()
+    cand = _minhash_candidates(sigs_ds, n_parts)
+    attached = _attach_pair_payloads(cand, docs, "text", n_parts, pa.string())
     jac_schema = _PAIR_SCHEMA.append(pa.field("jaccard", pa.float64()))
 
     def verify(batch: pd.DataFrame) -> pa.Table:
@@ -528,7 +624,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8) -> "ray.data.Datase
             {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=jac_schema
         )
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    return attached.map_batches(verify, batch_format="pandas")
 
 
 def _batch_simhash64(texts: list[str | None]) -> np.ndarray:

@@ -69,7 +69,7 @@ def explode_keys(batch: pa.Table) -> pa.Table:
 def detect_hot_keys(
     exploded: "ray.data.Dataset",
     threshold: int = DEFAULT_HOT_THRESHOLD,
-    sample_rate: int = 8,
+    sample_rate: int = 32,
 ) -> set[str]:
     """Deterministic sampled count pass; returns the (small) hot-key set.
 
@@ -78,22 +78,34 @@ def detect_hot_keys(
     shuffling N× fewer rows (the result is collected to the driver and
     broadcast).  sample_rate=1 gives exact counts."""
 
-    def sample(batch: pa.Table) -> pa.Table:
+    count_schema = pa.schema([("block_key", pa.string()), ("n", pa.int64())])
+
+    def sample_and_precount(batch: pa.Table) -> pa.Table:
+        """Deterministic sample + per-batch partial counts (combiner before
+        the shuffle — a hot key collapses to one row per batch)."""
         h = _hash_column(batch.column("block_key")) ^ _hash_column(
             batch.column("entity_id")
         )
         mask = pa.array((h % sample_rate) == 0)
-        return pa.table({"block_key": batch.column("block_key").filter(mask)})
+        keys = batch.column("block_key").filter(mask)
+        partial = pa.table({"block_key": keys}).group_by("block_key").aggregate(
+            [("block_key", "count")]
+        )
+        return pa.table(
+            {"block_key": partial.column("block_key"),
+             "n": pc.cast(partial.column("block_key_count"), pa.int64())},
+            schema=count_schema,
+        )
 
     scaled = max(2, threshold // sample_rate)
 
     def over_threshold(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch.column("count()"), scaled))
+        return batch.filter(pc.greater_equal(batch.column("sum(n)"), scaled))
 
     counts = (
-        exploded.map_batches(sample, batch_format="pyarrow")
+        exploded.map_batches(sample_and_precount, batch_format="pyarrow")
         .groupby("block_key", num_partitions=32)
-        .count()
+        .sum("n")
         .map_batches(over_threshold, batch_format="pyarrow")
     )
     return {r["block_key"] for r in counts.take_all()}
@@ -162,71 +174,150 @@ def add_bucket_int(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
     return batch.append_column("bucket_part", buckets)
 
 
-def emit_pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+def emit_pairs_bucket(bucket: pd.DataFrame) -> pa.Table:
     """One hash bucket of block keys → thin pair rows, deduped within the
-    bucket (pandas groupby inside).
+    bucket.  Fully vectorized: the per-key loop only slices numpy index
+    arrays (a pandas frame per key was the pairgen stage's wall at 432k
+    docs); ONE haversine + gate over every candidate pair of the bucket.
 
-    Most keys exist on only one side and can never pair — a vectorized
-    semi-filter drops them before the per-key loop (typically ~90% of
-    groups)."""
-    is_wd = bucket["side"].to_numpy() == "wd"
-    keys = bucket["block_key"]
-    both = set(keys[is_wd].unique()) & set(keys[~is_wd].unique())
-    if not both:
-        return _EMPTY_PAIRS.copy()
-    bucket = bucket[keys.isin(both)]
-    outs = [
-        _emit_pairs_for_key(g)
-        for _, g in bucket.groupby("block_key", sort=False)
-    ]
-    outs = [o for o in outs if o is not None and len(o)]
-    if not outs:
-        return _EMPTY_PAIRS.copy()
-    pairs = pd.concat(outs, ignore_index=True)
-    # a pair discovered under several keys of this bucket is scored once
-    return pairs.drop_duplicates(["qid", "osm_uid"], ignore_index=True)
+    Per (wd, key) cap of CANDIDATE_LIMIT nearest (deterministic
+    (dist, osm_uid) tie-break); the union-then-cap at the scorer reproduces
+    the reference's global `order by dist limit 50` (matcher.py:306)."""
+    side = bucket["side"].to_numpy()
+    is_wd = side == "wd"
+    codes, _uniques = pd.factorize(bucket["block_key"], sort=False)
+    # semi-filter: keys present on BOTH sides (vectorized bincount)
+    n_keys = codes.max() + 1 if len(codes) else 0
+    wd_count = np.bincount(codes[is_wd], minlength=n_keys)
+    osm_count = np.bincount(codes[~is_wd], minlength=n_keys)
+    live = (wd_count > 0) & (osm_count > 0)
+    if not live.any():
+        return _EMPTY_PAIRS
+    keep = live[codes]
+    codes = codes[keep]
+    is_wd = is_wd[keep]
+    lat = bucket["lat"].to_numpy()[keep]
+    lon = bucket["lon"].to_numpy()[keep]
+    ids = bucket["entity_id"].to_numpy()[keep]
+    max_dist = bucket["max_dist_m"].to_numpy()[keep]
+    is_point = bucket["is_point"].to_numpy()[keep]
 
+    # per-key WD/OSM row index lists via one argsort; candidate pairs are
+    # gated in bounded flushes (≤ ~4M at a time) so a salted hot key's
+    # quadratic cross product never materializes whole in memory
+    order = np.lexsort((is_wd, codes))
+    codes_s = codes[order]
+    is_wd_s = is_wd[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+    )
+    FLUSH = 4_000_000
+    wd_chunks: list[np.ndarray] = []
+    osm_chunks: list[np.ndarray] = []
+    surv_w: list[np.ndarray] = []
+    surv_o: list[np.ndarray] = []
+    surv_d: list[np.ndarray] = []
+    pending = 0
 
-def _emit_pairs_for_key(group: pd.DataFrame) -> pd.DataFrame | None:
-    """Within one block-key group: WD×OSM pairing under the distance gate.
+    def flush() -> None:
+        nonlocal pending, wd_chunks, osm_chunks
+        if not pending:
+            return
+        wi = np.concatenate(wd_chunks)
+        oi = np.concatenate(osm_chunks)
+        dists = haversine_m(lat[wi], lon[wi], lat[oi], lon[oi])
+        mask = (dists <= max_dist[wi]) | (
+            is_point[oi] & (dists <= NEARBY_NODE_M)
+        )
+        surv_w.append(wi[mask])
+        surv_o.append(oi[mask])
+        surv_d.append(dists[mask])
+        wd_chunks, osm_chunks = [], []
+        pending = 0
 
-    Vectorized haversine per WD row; per (wd, key) cap of CANDIDATE_LIMIT
-    nearest (the union-then-cap at the scorer reproduces the reference's
-    global `order by dist limit 50`, matcher.py:306 — see stages/scoring).
-    """
-    side = group["side"].to_numpy()
-    wd_mask = side == "wd"
-    if not wd_mask.any() or wd_mask.all():
-        return None
-    lat = group["lat"].to_numpy()
-    lon = group["lon"].to_numpy()
-    ids = group["entity_id"].to_numpy()
-    max_dist = group["max_dist_m"].to_numpy()
-    is_point = group["is_point"].to_numpy()
+    LARGE = 65_536  # above this, prefilter the cross product by lat band
+    M_PER_DEG = 111_194.9
 
-    osm_lat, osm_lon = lat[~wd_mask], lon[~wd_mask]
-    osm_ids = ids[~wd_mask]
-    osm_is_point = is_point[~wd_mask]
-
-    out: dict[str, list] = {c: [] for c in _PAIR_COLUMNS}
-    for i in np.flatnonzero(wd_mask):
-        dists = haversine_m(lat[i], lon[i], osm_lat, osm_lon)
-        mask = (dists <= max_dist[i]) | (osm_is_point & (dists <= NEARBY_NODE_M))
-        if not mask.any():
+    for gi, start in enumerate(starts):
+        stop = starts[gi + 1] if gi + 1 < len(starts) else len(order)
+        seg = order[start:stop]
+        wd_split = np.searchsorted(is_wd_s[start:stop], True)
+        osm_rows = seg[:wd_split]
+        wd_rows = seg[wd_split:]
+        w, o = len(wd_rows), len(osm_rows)
+        if not w or not o:
             continue
-        idx = np.flatnonzero(mask)
-        if len(idx) > CANDIDATE_LIMIT:
-            # tie-break equal distances by osm_uid so the cap boundary is
-            # shuffle-order independent (determinism invariant; matches the
-            # (dist, osm_uid) ordering used in ScorerReducer.score_item)
-            order = np.lexsort((osm_ids[idx], dists[idx]))[:CANDIDATE_LIMIT]
-            idx = idx[order]
-        for j in idx:
-            out["qid"].append(ids[i])
-            out["osm_uid"].append(osm_ids[j])
-            out["dist"].append(float(dists[j]))
-    return pd.DataFrame(out)
+        if w * o > LARGE:
+            # hot group (salted "San Jose" shard): the cross product is
+            # distance-gated to almost nothing, so prefilter each WD row to
+            # the OSM rows within its latitude band — O((w+o)·log o) index
+            # work instead of O(w·o) haversines
+            lat_order = osm_rows[np.argsort(lat[osm_rows], kind="stable")]
+            osm_lat_sorted = lat[lat_order]
+            band_deg = (
+                np.maximum(max_dist[wd_rows], NEARBY_NODE_M) / M_PER_DEG
+            )
+            lo_i = np.searchsorted(
+                osm_lat_sorted, lat[wd_rows] - band_deg, side="left"
+            )
+            hi_i = np.searchsorted(
+                osm_lat_sorted, lat[wd_rows] + band_deg, side="right"
+            )
+            for k in range(w):
+                cand = lat_order[lo_i[k] : hi_i[k]]
+                if not len(cand):
+                    continue
+                wd_chunks.append(np.full(len(cand), wd_rows[k], dtype=np.int64))
+                osm_chunks.append(cand)
+                pending += len(cand)
+                if pending >= FLUSH:
+                    flush()
+            continue
+        # a single key whose cross product exceeds the flush budget is
+        # itself chunked by WD rows
+        step = max(1, FLUSH // max(o, 1))
+        for ws in range(0, w, step):
+            wr = wd_rows[ws : ws + step]
+            wd_chunks.append(np.repeat(wr, o))
+            osm_chunks.append(np.tile(osm_rows, len(wr)))
+            pending += len(wr) * o
+            if pending >= FLUSH:
+                flush()
+    flush()
+    if not surv_w:
+        return _EMPTY_PAIRS
+    wi = np.concatenate(surv_w)
+    oi = np.concatenate(surv_o)
+    dists = np.concatenate(surv_d)
+    if not len(wi):
+        return _EMPTY_PAIRS
+
+    # per (wd row = wd entity × key) cap — binding only for hot keys
+    counts = np.bincount(wi, minlength=len(codes))
+    if (counts > CANDIDATE_LIMIT).any():
+        keep_mask = np.ones(len(wi), dtype=bool)
+        pair_order = np.argsort(wi, kind="stable")
+        bounds = np.flatnonzero(
+            np.concatenate([[True], wi[pair_order][1:] != wi[pair_order][:-1]])
+        )
+        for gi, start in enumerate(bounds):
+            stop = bounds[gi + 1] if gi + 1 < len(bounds) else len(pair_order)
+            seg = pair_order[start:stop]
+            if len(seg) <= CANDIDATE_LIMIT:
+                continue
+            sub = np.lexsort((ids[oi[seg]], dists[seg]))
+            keep_mask[seg[sub[CANDIDATE_LIMIT:]]] = False
+        wi, oi, dists = wi[keep_mask], oi[keep_mask], dists[keep_mask]
+
+    out = pd.DataFrame(
+        {"qid": ids[wi], "osm_uid": ids[oi], "dist": dists}
+    ).drop_duplicates(["qid", "osm_uid"], ignore_index=True)
+    # a pair discovered under several keys of this bucket is scored once
+    return pa.Table.from_pandas(out, schema=_PAIR_SCHEMA, preserve_index=False)
 
 
 _PAIR_COLUMNS = ["qid", "osm_uid", "dist"]
-_EMPTY_PAIRS = pd.DataFrame({c: pd.Series(dtype="float64" if c == "dist" else "object") for c in _PAIR_COLUMNS})
+_PAIR_SCHEMA = pa.schema(
+    [("qid", pa.string()), ("osm_uid", pa.string()), ("dist", pa.float64())]
+)
+_EMPTY_PAIRS = _PAIR_SCHEMA.empty_table()
