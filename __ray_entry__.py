@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops over documents/embeddings ---
         "doc_stats": lambda sf: td.doc_stats(sf).sort(["doc_id"]),
         "token_counts": lambda sf: td.token_counts(sf).sort(["source"]),
+        "token_counts_bpe": lambda sf: td.token_counts_bpe(sf).sort(["source"]),
         "quality": lambda sf: td.quality_score(sf).sort(["doc_id"]),
         "lang_id": lambda sf: td.lang_id(sf).sort(["doc_id"]),
         "doc_fingerprint": lambda sf: td.doc_fingerprint(sf).sort(["doc_id"]),
@@ -188,6 +189,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": lambda sf: td.ann_topk(sf)
         .select_columns(["query_id", "vec_id"])
         .sort(["query_id", "vec_id"]),
+        # IVF scale path is approximate by contract (recall pinned ≥0.9 vs
+        # the exact baseline in pytest) — rows-only driver check
+        "ann_topk_ivf": lambda sf: td.ann_topk_ivf(sf)
+        .select_columns(["query_id", "vec_id"])
+        .sort(["query_id", "vec_id"]),
         # --- relational operator proofs (exact DuckDB oracles) ---
         "q_pricing_summary": lambda sf: td.pricing_summary(sf).sort(
             ["l_returnflag", "l_linestatus"]
@@ -201,6 +207,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_osm_lang_counts": _linkage_osm_lang_counts,
         "linkage_isa_facets": _linkage_isa_facets,
     }
+
+
+def _bpe_pattern_sql() -> str:
+    """The engine's BPE pretokenizer pattern, SQL-string-escaped (single
+    source of truth in pipelines/training_data.BPE_PATTERN)."""
+    from osm_wikidata_ray.pipelines.training_data import BPE_PATTERN
+
+    # DuckDB standard string literals don't process backslash escapes —
+    # only quotes need doubling
+    return BPE_PATTERN.replace("'", "''")
 
 
 def _lang_profile_values() -> str:
@@ -320,6 +336,12 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT source,
                    sum(array_length(string_split_regex(trim(text), '\\s+')))::BIGINT AS "sum(n_tokens)"
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "token_counts_bpe": f"""
+            SELECT source,
+                   sum(len(regexp_extract_all(text, '{_bpe_pattern_sql()}')))::BIGINT
+                       AS "sum(n_tokens)"
             FROM documents GROUP BY source ORDER BY source
         """,
         "quality": f"""

@@ -42,7 +42,10 @@ def _init_ray(num_cpus: int) -> None:
         )
     import ray.data
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    if hasattr(ctx, "use_polars_sort"):  # faster string-key sort shuffles
+        ctx.use_polars_sort = True
 
 
 def _warmup() -> None:

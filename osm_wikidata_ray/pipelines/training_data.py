@@ -80,6 +80,29 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("source", num_partitions=default_partitions()).sum("n_tokens")
 
 
+# GPT-2-ish pretokenizer pattern, RE2-compatible (no lookarounds) so the
+# DuckDB oracle runs the SAME pattern — keep in sync with __ray_entry__
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_counts_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus BPE-style token totals per source (the tokenizer-aware
+    counting a training-data pipeline budgets with) — vectorized pyarrow
+    regex, partial agg before the tiny groupby."""
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_PATTERN)
+        return pa.table(
+            {"source": batch.column("source"),
+             "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["source", "text"]).map_batches(
+        per_doc, batch_format="pyarrow"
+    )
+    return ds.groupby("source", num_partitions=default_partitions()).sum("n_tokens")
+
+
 def quality_score(sf_dir: str) -> "ray.data.Dataset":
     """Heuristic quality components (ints for oracle-exact comparison)."""
 
@@ -890,6 +913,117 @@ def dedup_embedding_cosine(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return pairs.groupby(["vec_a", "vec_b"], num_partitions=n_parts).max("cos")
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_lists: int = 32,
+    n_probe: int = 12,
+) -> "ray.data.Dataset":
+    """IVF-style approximate top-k — the scale path next to ann_topk's
+    brute force: a deterministic coarse quantizer (first `n_lists` vectors
+    as centroids, one distributed Lloyd refinement) partitions the corpus
+    into inverted lists; each query probes only its `n_probe` nearest
+    lists, so per-query work is n_probe/n_lists of the corpus.  Recall@k
+    vs the exact baseline is pinned by tests/test_training_data.py."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=max(n_lists, n_queries)))
+    head_t = pa.Table.from_batches([head])
+    seeds = (
+        np.stack(head_t.column("embedding").to_pylist()[:n_lists])
+        .astype(np.float64)
+    )
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True) + 1e-30
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # one distributed Lloyd step: per-batch partial sums per centroid →
+    # tiny driver reduce (centroid count is fixed and small)
+    seeds_ref = ray.put(seeds)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        c = ray.get(seeds_ref)
+        vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
+        vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+        assign = np.argmax(vn @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, vn)
+        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        return pa.table(
+            {"list_id": pa.array(np.arange(len(c)), pa.int64()),
+             "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    sums = np.zeros_like(seeds)
+    counts = np.zeros(n_lists, dtype=np.int64)
+    for r in parts.itertuples():
+        sums[r.list_id] += np.asarray(r.vsum)
+        counts[r.list_id] += r.n
+    refined = np.where(
+        counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], seeds
+    )
+    refined /= np.linalg.norm(refined, axis=1, keepdims=True) + 1e-30
+
+    q_ids = head_t.column("vec_id").to_pylist()[:n_queries]
+    q = np.stack(head_t.column("embedding").to_pylist()[:n_queries]).astype(
+        np.float64
+    )
+    qn = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-30)
+    probe_lists = np.argsort(-(qn @ refined.T), axis=1)[:, :n_probe]
+    # query → probed-list membership mask, broadcast once
+    state_ref = ray.put((q_ids, qn, refined, probe_lists))
+
+    class Probe:
+        def __init__(self) -> None:
+            self.q_ids, self.qn, self.centroids, self.probe = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = list_column_to_matrix(batch.column("embedding")).astype(
+                np.float64
+            )
+            vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+            assign = np.argmax(vn @ self.centroids.T, axis=1)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            out = {"query_id": [], "vec_id": [], "cos": []}
+            sims = self.qn @ vn.T  # (queries, batch)
+            for qi, q_id in enumerate(self.q_ids):
+                in_probe = np.isin(assign, self.probe[qi])
+                if not in_probe.any():
+                    continue
+                idx = np.flatnonzero(in_probe)
+                s = sims[qi, idx]
+                top = min(k, len(idx))
+                part = idx[np.argpartition(-s, top - 1)[:top]]
+                out["query_id"].extend([q_id] * len(part))
+                out["vec_id"].extend(int(ids[j]) for j in part)
+                out["cos"].extend(float(sims[qi, j]) for j in part)
+            return pa.table(
+                {"query_id": pa.array(out["query_id"], pa.int64()),
+                 "vec_id": pa.array(out["vec_id"], pa.int64()),
+                 "cos": pa.array(out["cos"], pa.float64())},
+                schema=pa.schema(
+                    [("query_id", pa.int64()), ("vec_id", pa.int64()),
+                     ("cos", pa.float64())]
+                ),
+            )
+
+    partials = ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["cos"] = g["cos"].round(4)
+        return g
+
+    return partials.groupby("query_id", num_partitions=8).map_groups(
+        final_topk, batch_format="pandas"
+    )
 
 
 def dedup_embedding_exact(

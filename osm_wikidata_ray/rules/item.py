@@ -170,6 +170,41 @@ def skip_item_during_match(item: Item) -> bool:
     return sites == {"cebwiki"} or sites == {"cebwiki", "svwiki"}
 
 
+_DEFUNCT_WORDS = {
+    "demolish", "disestablishment", "defunct", "abandon", "mothballed",
+    "decommission", "former", "dismantled", "disused", "disassembled",
+    "abandoned", "disband", "scrapped", "unused", "closed", "condemned",
+    "redundant",
+}  # model.py:781-799
+_DEFUNCT_EXCLUDE = {
+    "Defunct baseball venues in the United States",
+    "Defunct National Football League venues",
+    "Enclosed roller coasters",
+    "Former civil parishes in England",
+    "Capitals of former nations",
+    "Former state capitals in the United States",
+}  # model.py:801-808
+
+
+def defunct_cats(item: Item) -> list[str]:
+    """Defunct categories the item belongs to (model.py:779-822).
+
+    Display-side in the reference (view.py:1255) — the match-path
+    disused-prefix tag expansion lives in rules/tags.calculate_tags; this
+    predicate completes the §2.2 surface for downstream consumers."""
+    found: list[str] = []
+    for item_cat in categories(item):
+        if item_cat in _DEFUNCT_EXCLUDE:
+            continue
+        if item_cat.startswith("Former") and item_cat.endswith("Railway stations"):
+            # 'Former <operator> Railway stations' subcategories mostly
+            # contain stations that still exist (model.py:813-818)
+            continue
+        lc = item_cat.lower()
+        found += [item_cat for w in _DEFUNCT_WORDS if w in lc]
+    return found
+
+
 def more_endings_from_isa(item: Item) -> set[str]:
     """IsA labels in the item's languages as trim endings (model.py:455-468)."""
     endings: set[str] = set()

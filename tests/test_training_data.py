@@ -130,3 +130,39 @@ def test_dedup_minhash_clusters(ray_session, tmp_path):
 
     reps = dedup_minhash_clusters(str(tmp_path)).to_pandas()
     assert set(reps["canonical_doc"]) == {100}
+
+
+def test_ann_topk_ivf_recall(ray_session):
+    """IVF probe (n_probe/n_lists of the corpus per query) keeps recall@10
+    ≥ 0.9 vs the exact brute-force baseline."""
+    from osm_wikidata_ray.pipelines.training_data import ann_topk, ann_topk_ivf
+
+    exact = ann_topk(SF, n_queries=4, k=10).to_pandas()
+    approx = ann_topk_ivf(SF, n_queries=4, k=10).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        a = set(approx.loc[approx.query_id == qid, "vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_token_counts_bpe(ray_session):
+    """BPE-ish token totals match an in-process regex count."""
+    import re
+
+    import duckdb
+
+    from osm_wikidata_ray.pipelines.training_data import BPE_PATTERN, token_counts_bpe
+
+    out = token_counts_bpe(SF).to_pandas()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    expected: dict[str, int] = {}
+    pat = re.compile(BPE_PATTERN)
+    for source, text in rows:
+        expected[source] = expected.get(source, 0) + len(pat.findall(text or ""))
+    got = dict(zip(out["source"], out["sum(n_tokens)"]))
+    assert got == expected
