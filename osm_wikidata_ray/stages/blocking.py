@@ -37,8 +37,15 @@ DEFAULT_SALT_FACTOR = 16
 # once per record instead of once per (record, key) — the difference between
 # ~40 MB and ~1 GB shuffled per 50k docs; see stages/scoring.attach flow)
 EXPLODED_COLUMNS = [
-    "block_key", "side", "entity_id", "lat", "lon", "max_dist_m", "is_point",
+    "block_key", "side", "entity_key", "lat", "lon", "max_dist_m", "is_point",
 ]
+
+
+def _mix_int64(vals: np.ndarray) -> np.ndarray:
+    """Deterministic multiplicative mix of int64 keys (vectorized)."""
+    v = vals.astype(np.uint64, copy=False)
+    v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return v ^ (v >> np.uint64(33))
 
 
 def _stable_hash(s: str) -> int:
@@ -83,8 +90,8 @@ def detect_hot_keys(
     def sample_and_precount(batch: pa.Table) -> pa.Table:
         """Deterministic sample + per-batch partial counts (combiner before
         the shuffle — a hot key collapses to one row per batch)."""
-        h = _hash_column(batch.column("block_key")) ^ _hash_column(
-            batch.column("entity_id")
+        h = _hash_column(batch.column("block_key")) ^ _mix_int64(
+            batch.column("entity_key").to_numpy(zero_copy_only=False)
         )
         mask = pa.array((h % sample_rate) == 0)
         keys = batch.column("block_key").filter(mask)
@@ -130,14 +137,15 @@ def salt_hot_keys(
     # hot rows are a tiny fraction by construction — only they take the
     # per-row string path; the full-batch membership test is vectorized
     sides = batch.column("side").to_numpy(zero_copy_only=False)
-    ids = batch.column("entity_id").to_numpy(zero_copy_only=False)
+    keys_int = batch.column("entity_key").to_numpy(zero_copy_only=False)
+    shards = _mix_int64(keys_int) % np.uint64(salt_factor)
     k = salt_factor
     out_idx: list[int] = []
     out_keys: list[str] = []
     for i in hot_idx:
         if sides[i] == "osm":
             out_idx.append(i)
-            out_keys.append(f"{keys_np[i]}#{_stable_hash(ids[i]) % k}")
+            out_keys.append(f"{keys_np[i]}#{shards[i]}")
         else:
             for shard in range(k):
                 out_idx.append(i)
@@ -198,7 +206,7 @@ def emit_pairs_bucket(bucket: pd.DataFrame) -> pa.Table:
     is_wd = is_wd[keep]
     lat = bucket["lat"].to_numpy()[keep]
     lon = bucket["lon"].to_numpy()[keep]
-    ids = bucket["entity_id"].to_numpy()[keep]
+    ids = bucket["entity_key"].to_numpy()[keep]
     max_dist = bucket["max_dist_m"].to_numpy()[keep]
     is_point = bucket["is_point"].to_numpy()[keep]
 
@@ -310,14 +318,15 @@ def emit_pairs_bucket(bucket: pd.DataFrame) -> pa.Table:
         wi, oi, dists = wi[keep_mask], oi[keep_mask], dists[keep_mask]
 
     out = pd.DataFrame(
-        {"qid": ids[wi], "osm_uid": ids[oi], "dist": dists}
-    ).drop_duplicates(["qid", "osm_uid"], ignore_index=True)
+        {"qid_key": ids[wi].astype(np.int64), "osm_key": ids[oi].astype(np.int64),
+         "dist": dists}
+    ).drop_duplicates(["qid_key", "osm_key"], ignore_index=True)
     # a pair discovered under several keys of this bucket is scored once
     return pa.Table.from_pandas(out, schema=_PAIR_SCHEMA, preserve_index=False)
 
 
-_PAIR_COLUMNS = ["qid", "osm_uid", "dist"]
+_PAIR_COLUMNS = ["qid_key", "osm_key", "dist"]
 _PAIR_SCHEMA = pa.schema(
-    [("qid", pa.string()), ("osm_uid", pa.string()), ("dist", pa.float64())]
+    [("qid_key", pa.int64()), ("osm_key", pa.int64()), ("dist", pa.float64())]
 )
 _EMPTY_PAIRS = _PAIR_SCHEMA.empty_table()

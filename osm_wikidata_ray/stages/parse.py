@@ -35,6 +35,7 @@ RECORD_SCHEMA = pa.schema(
     [
         ("side", pa.string()),
         ("entity_id", pa.string()),
+        ("entity_key", pa.int64()),
         ("lat", pa.float64()),
         ("lon", pa.float64()),
         ("max_dist_m", pa.float64()),
@@ -45,6 +46,24 @@ RECORD_SCHEMA = pa.schema(
         ("span_checksum", pa.string()),
     ]
 )
+
+# int64 entity keys keep the blocking/attach shuffles numeric (string keys
+# cost ~2× the bytes and hash slower).  WD: plain QID number.  OSM:
+# type_code<<56 | osm_id with codes in ALPHABETICAL order so (dist, key)
+# tie-breaks order node < relation < way like the oracle's
+# (dist, osm_type, osm_id).  Bit 62 marks a non-numeric-qid hash fallback.
+_OSM_TYPE_CODE = {"node": 1, "relation": 2, "way": 3}
+
+
+def wd_entity_key(qid: str) -> int:
+    num = qid[1:]
+    if num.isdigit():
+        return int(num)
+    return (1 << 62) | (zlib.crc32(qid.encode()) << 16)
+
+
+def osm_entity_key(osm_type: str, osm_id: int) -> int:
+    return (_OSM_TYPE_CODE.get(osm_type, 0) << 56) | (int(osm_id) & ((1 << 56) - 1))
 
 
 def parse_docs(batch: pa.Table) -> pa.Table:
@@ -67,6 +86,7 @@ def parse_docs(batch: pa.Table) -> pa.Table:
             ) * 1000.0
             out["side"].append("wd")
             out["entity_id"].append(item["qid"])
+            out["entity_key"].append(wd_entity_key(item["qid"]))
             out["lat"].append(item["lat"] if item["lat"] is not None else math.nan)
             out["lon"].append(item["lon"] if item["lon"] is not None else math.nan)
             out["max_dist_m"].append(max_dist_m)
@@ -78,6 +98,7 @@ def parse_docs(batch: pa.Table) -> pa.Table:
             keys = osm_block_keys(obj["tags"], obj["lat"], obj["lon"], obj["planet_table"])
             out["side"].append("osm")
             out["entity_id"].append(f"{obj['osm_type']}/{obj['osm_id']}")
+            out["entity_key"].append(osm_entity_key(obj["osm_type"], obj["osm_id"]))
             out["lat"].append(obj["lat"] if obj["lat"] is not None else math.nan)
             out["lon"].append(obj["lon"] if obj["lon"] is not None else math.nan)
             out["max_dist_m"].append(0.0)

@@ -31,7 +31,7 @@ from ..rules.reduce import (
     score_item_candidates,
 )
 from ..rules.ruleset import RuleSet
-from .blocking import add_bucket
+from .blocking import add_bucket_int
 
 CANDIDATE_COLUMNS = [
     "qid", "osm_type", "osm_id", "dist",
@@ -40,16 +40,16 @@ CANDIDATE_COLUMNS = [
     "wd_doc_id", "wd_checksum", "osm_doc_id", "osm_checksum",
 ]
 
-_REC_COLUMNS = ["entity_id", "payload", "doc_id", "span_checksum"]
+_REC_COLUMNS = ["entity_key", "payload", "doc_id", "span_checksum"]
 
 
 def _pairs_for_osm_union(batch: pa.Table) -> pa.Table:
     n = len(batch)
     return pa.table(
         {
-            "join_key": batch.column("osm_uid"),
+            "join_key": batch.column("osm_key"),
             "kind": pa.array(["p"] * n),
-            "qid": batch.column("qid"),
+            "qid_key": batch.column("qid_key"),
             "dist": batch.column("dist"),
             "payload": pa.array([b""] * n, pa.binary()),
             "doc_id": pa.array([""] * n),
@@ -62,9 +62,9 @@ def _recs_for_union(batch: pa.Table) -> pa.Table:
     n = len(batch)
     return pa.table(
         {
-            "join_key": batch.column("entity_id"),
+            "join_key": batch.column("entity_key"),
             "kind": pa.array(["r"] * n),
-            "qid": pa.array([""] * n),
+            "qid_key": pa.array([0] * n, pa.int64()),
             "dist": pa.array([math.nan] * n, pa.float64()),
             "payload": batch.column("payload"),
             "doc_id": batch.column("doc_id"),
@@ -73,35 +73,33 @@ def _recs_for_union(batch: pa.Table) -> pa.Table:
     )
 
 
-def _attach_osm_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+_ATTACHED_SCHEMA = pa.schema(
+    [("qid_key", pa.int64()), ("osm_key", pa.int64()), ("dist", pa.float64()),
+     ("osm_payload", pa.binary()), ("osm_doc_id", pa.string()),
+     ("osm_checksum", pa.string())]
+)
+
+
+def _attach_osm_bucket(bucket: pd.DataFrame) -> pa.Table:
     recs = bucket.loc[bucket["kind"] == "r"].drop_duplicates("join_key")
     pairs = bucket.loc[bucket["kind"] == "p"]
-    if pairs.empty or recs.empty:
-        return _EMPTY_ATTACHED.copy()
     merged = pairs.merge(
         recs[["join_key", "payload", "doc_id", "span_checksum"]],
         on="join_key",
         how="inner",
         suffixes=("", "_rec"),
     )
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
-            "qid": merged["qid"],
-            "osm_uid": merged["join_key"],
+            "qid_key": merged["qid_key"],
+            "osm_key": merged["join_key"],
             "dist": merged["dist"],
             "osm_payload": merged["payload_rec"],
             "osm_doc_id": merged["doc_id_rec"],
             "osm_checksum": merged["span_checksum_rec"],
         }
     )
-
-
-_EMPTY_ATTACHED = pd.DataFrame(
-    {
-        c: pd.Series(dtype="float64" if c == "dist" else "object")
-        for c in ["qid", "osm_uid", "dist", "osm_payload", "osm_doc_id", "osm_checksum"]
-    }
-)
+    return pa.Table.from_pandas(out, schema=_ATTACHED_SCHEMA, preserve_index=False)
 
 
 def attach_osm_payloads(
@@ -116,10 +114,11 @@ def attach_osm_payloads(
     )
     return (
         unioned.map_batches(
-            lambda b: add_bucket(b, "join_key", n_parts * 4), batch_format="pyarrow"
+            lambda b: add_bucket_int(b, "join_key", n_parts * 4),
+            batch_format="pyarrow",
         )
         .repartition(n_parts)  # coalesce tiny union blocks before the sort
-        .groupby("bucket", num_partitions=n_parts)
+        .groupby("bucket_part", num_partitions=n_parts)
         .map_groups(_attach_osm_bucket, batch_format="pandas")
     )
 
@@ -128,9 +127,9 @@ def _pairs_for_wd_union(batch: pa.Table) -> pa.Table:
     n = len(batch)
     return pa.table(
         {
-            "join_key": batch.column("qid"),
+            "join_key": batch.column("qid_key"),
             "kind": pa.array(["p"] * n),
-            "osm_uid": batch.column("osm_uid"),
+            "osm_key": batch.column("osm_key"),
             "dist": batch.column("dist"),
             "osm_payload": batch.column("osm_payload"),
             "osm_doc_id": batch.column("osm_doc_id"),
@@ -146,9 +145,9 @@ def _wd_recs_for_union(batch: pa.Table) -> pa.Table:
     n = len(batch)
     return pa.table(
         {
-            "join_key": batch.column("entity_id"),
+            "join_key": batch.column("entity_key"),
             "kind": pa.array(["r"] * n),
-            "osm_uid": pa.array([""] * n),
+            "osm_key": pa.array([0] * n, pa.int64()),
             "dist": pa.array([math.nan] * n, pa.float64()),
             "osm_payload": pa.array([b""] * n, pa.binary()),
             "osm_doc_id": pa.array([""] * n),
@@ -195,7 +194,7 @@ class ScorerReducer:
         obj_cache: dict[bytes, dict] = {}  # decode each OSM payload once
         qids = pairs["join_key"].to_numpy()
         dists = pairs["dist"].to_numpy()
-        uids = pairs["osm_uid"].to_numpy()
+        uids = pairs["osm_key"].to_numpy()
         payloads = pairs["osm_payload"].to_numpy()
         doc_ids = pairs["osm_doc_id"].to_numpy()
         checks = pairs["osm_checksum"].to_numpy()
@@ -355,10 +354,11 @@ def score_attached_pairs(
     )
     return (
         unioned.map_batches(
-            lambda b: add_bucket(b, "join_key", n_parts * 4), batch_format="pyarrow"
+            lambda b: add_bucket_int(b, "join_key", n_parts * 4),
+            batch_format="pyarrow",
         )
         .repartition(n_parts)  # coalesce tiny union blocks before the sort
-        .groupby("bucket", num_partitions=n_parts)
+        .groupby("bucket_part", num_partitions=n_parts)
         .map_groups(
             scorer_task,
             fn_kwargs={
