@@ -7,11 +7,16 @@ value-hash).  Nothing here calls ray.init()/ray.shutdown().
 
 Query families:
   linkage_*   the flagship record-linkage engine over the interleaved
-              text+media doc table (synthesized deterministically per sf —
-              the north-rule input; not SQL-expressible → rows-only checks;
-              correctness is gated by tests/test_pipeline.py F1 vs oracle)
-  dedup_* / ann_* / lang_id / doc_* / token_counts / quality
-              training-data operators over documents/embeddings
+              text+media doc table (synthesized deterministically per sf to
+              a /tmp parquet dump that the DuckDB oracles read too — the
+              parse/span/lang/isa views carry exact SQL oracles; the
+              scored-pair views are rows-only and gated by the
+              tests/test_pipeline.py F1-vs-oracle suite)
+  dedup_* / ann_* / lang_id / doc_* / token_counts* / quality
+              training-data operators over documents/embeddings; exact
+              oracles where SQL can reproduce the math (ngram jaccard,
+              block-nested cosine, fingerprints, lang id, BPE counts);
+              hash-seeded LSH ops are rows-only with pytest recall gates
   q_*         relational operator proofs over the TPC-H-ish tables with
               exact DuckDB oracles
 """

@@ -63,6 +63,7 @@ def run_linkage(
     keep_rejects: bool = False,
     ruleset_kwargs: dict[str, Any] | None = None,
     want_isa: set[str] | None = None,
+    fuse_shuffles: bool = False,
 ) -> LinkageResult:
     """Assemble the full linkage pipeline over a docs Dataset.
 
@@ -87,7 +88,7 @@ def run_linkage(
     exploded = records.select_columns(
         ["block_keys", *blocking.EXPLODED_COLUMNS[1:]]
     ).map_batches(blocking.explode_keys, batch_format="pyarrow")
-    if checkpoint_dir is None:
+    if checkpoint_dir is None and not fuse_shuffles:
         exploded = exploded.materialize()
 
     hot = blocking.detect_hot_keys(exploded, hot_key_threshold)
@@ -113,11 +114,14 @@ def run_linkage(
         )
         # shuffle stages are barriers; materializing between them keeps the
         # streaming executor from interleaving two all-to-all exchanges
-        # (pair tables are small relative to the input)
-        if checkpoint_dir is None:
+        # (pair tables are small relative to the input).  fuse_shuffles=True
+        # skips the barriers — measured SLOWER on Ray 2.49 even with polars
+        # sort (12k: 9.5 s fused vs 7.3 s barriered; 144k: 15.7 vs 13.4),
+        # kept as the knob to re-test on newer Ray
+        if checkpoint_dir is None and not fuse_shuffles:
             thin_pairs = thin_pairs.materialize()
         attached = scoring.attach_osm_payloads(thin_pairs, records, n_parts)
-        if checkpoint_dir is None:
+        if checkpoint_dir is None and not fuse_shuffles:
             attached = attached.materialize()
         return scoring.score_attached_pairs(
             attached, records, n_parts, scorer_concurrency, ruleset_kwargs,

@@ -5,12 +5,12 @@ table's `media_ref` span field is never parsed — FIXTURES.md).  This module
 adds the actor-pool stages a training-data pipeline needs on top: decode,
 feature-extract, resize, frame-sample.
 
-The image/audio libraries are not available in this container, so the
-*decode kernel* is stubbed: ``MediaDecoder`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder produces
-stable pseudo-pixels from the media bytes.  Everything around the kernel —
-schema, batch sizing, actor signature, output layout — is real and tested,
-so swapping in a real decoder is a one-line change.
+The decode kernel is REAL for the netpbm formats (binary PPM/PGM — parsed
+in pure Python/numpy, no codec libraries needed): magic sniff → header
+parse → pixel matrix → block-mean resize → feature vector.  JPEG/PNG/audio
+need codec libraries that are not in this container, so those magics raise
+NotImplementedError with a clear message (``fake=True`` substitutes a
+deterministic pseudo-decoder for testing that path's plumbing).
 """
 
 from __future__ import annotations
@@ -35,11 +35,70 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_netpbm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → (h, w, 3) or (h, w) uint8 matrix.
+
+    Pure-Python header parse + numpy frombuffer — a real image decode with
+    no codec dependency."""
+    if data[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment line
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if data[:2] == b"P6" else 1
+    pix = np.frombuffer(data, dtype=np.uint8, count=w * h * channels, offset=i)
+    return pix.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def block_mean_resize(gray: np.ndarray, size: int) -> np.ndarray:
+    """(h, w) float → (size, size) via block averaging (real resize kernel)."""
+    h, w = gray.shape
+    ys = (np.arange(size + 1) * h // size).clip(1, h)
+    xs = (np.arange(size + 1) * w // size).clip(1, w)
+    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integral[1:, 1:] = gray.cumsum(0).cumsum(1)
+    out = np.empty((size, size), dtype=np.float64)
+    y0 = np.concatenate([[0], ys[1:-1]])
+    x0 = np.concatenate([[0], xs[1:-1]])
+    for r in range(size):
+        a, b = y0[r], ys[r + 1]
+        for c in range(size):
+            l, rr = x0[c], xs[c + 1]
+            area = max((b - a) * (rr - l), 1)
+            out[r, c] = (
+                integral[b, rr] - integral[a, rr] - integral[b, l] + integral[a, l]
+            ) / area
+    return out
+
+
 def media_table_from_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Extract the media spans of a doc table into a typed media table.
 
-    Binary payload = deterministic placeholder derived from the ref (the real
-    system would fetch object-store bytes by media_ref)."""
+    Payload = deterministic 8×8 PPM image derived from the ref (the real
+    system would fetch object-store bytes by media_ref; the synthetic
+    harness fabricates REAL image bytes so the decode kernel is exercised
+    end-to-end)."""
 
     def extract(batch: pa.Table) -> pa.Table:
         out: dict[str, list[Any]] = {n: [] for n in MEDIA_SCHEMA.names}
@@ -50,12 +109,15 @@ def media_table_from_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                 if s["kind"] != "media":
                     continue
                 ref = s["media_ref"]
+                seed = int.from_bytes(hashlib.sha256(ref.encode()).digest()[:8], "big")
+                rng = np.random.RandomState(seed % (2**31))
+                pixels = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
                 out["media_id"].append(f"{doc_id}#{s['offset']}")
                 out["media_ref"].append(ref)
-                out["payload"].append(hashlib.sha256(ref.encode()).digest())
+                out["payload"].append(encode_ppm(pixels))
                 out["media_type"].append("image")
-                out["width"].append(64)
-                out["height"].append(64)
+                out["width"].append(8)
+                out["height"].append(8)
         return pa.Table.from_pydict(out, schema=MEDIA_SCHEMA)
 
     return docs.map_batches(extract, batch_format="pyarrow")
@@ -65,50 +127,69 @@ class MediaDecoder:
     """Actor-pool decode stage: map_batches(MediaDecoder, concurrency=N,
     batch_size=small) — small batches because decoded frames are large.
 
-    With ``fake=True`` produces deterministic pseudo-pixels (sha256-seeded);
-    without it raises NotImplementedError (no image libs in this container).
-    """
+    Decodes binary PPM/PGM payloads for real (magic-sniffed); other image
+    formats raise NotImplementedError (codec libraries absent in this
+    container) unless ``fake=True`` substitutes a deterministic
+    pseudo-decoder.  Output: per-media feature vector = column means of the
+    block-mean-resized grayscale image."""
+
+    OUT_SCHEMA = pa.schema(
+        [("media_id", pa.string()), ("width", pa.int32()),
+         ("height", pa.int32()), ("feature", pa.list_(pa.float32()))]
+    )
 
     def __init__(self, fake: bool = False, target_size: int = 8) -> None:
         self.fake = fake
         self.target_size = target_size
-        if not fake:
-            raise NotImplementedError(
-                "image/audio decode libraries are not available in this "
-                "environment; construct with fake=True for the deterministic "
-                "stub decoder"
-            )
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] in (b"P6", b"P5"):
+            return decode_netpbm(payload)
+        if self.fake:
+            seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+            rng = np.random.RandomState(seed % (2**31))
+            return rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+        raise NotImplementedError(
+            "only binary netpbm (PPM/PGM) decodes in this container; "
+            "JPEG/PNG need codec libraries — construct with fake=True to "
+            "exercise the plumbing with a deterministic stub decoder"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = self.target_size
-        feats, ids = [], []
+        feats, ids, widths, heights = [], [], [], []
         for media_id, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
-            seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-            rng = np.random.RandomState(seed % (2**31))
-            pixels = rng.randint(0, 256, size=(n, n), dtype=np.uint8)
-            feats.append(pixels.astype(np.float32).mean(axis=0).tolist())
+            img = self._decode(payload)
+            if img.ndim == 3:
+                gray = img.astype(np.float64).mean(axis=2)
+            else:
+                gray = img.astype(np.float64)
+            resized = block_mean_resize(gray, n)
+            feats.append(resized.mean(axis=0).astype(np.float32).tolist())
             ids.append(media_id)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
                 "feature": pa.array(feats, pa.list_(pa.float32())),
             },
-            schema=pa.schema(
-                [("media_id", pa.string()), ("feature", pa.list_(pa.float32()))]
-            ),
+            schema=self.OUT_SCHEMA,
         )
 
 
 def media_features(
     docs: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4), batch_size: int = 64
 ) -> "ray.data.Dataset":
-    """media table → per-media feature vectors (stub decode actor pool)."""
+    """media table → per-media feature vectors (real netpbm decode actor
+    pool; see MediaDecoder for the codec-availability contract)."""
     media = media_table_from_docs(docs)
     return media.map_batches(
         MediaDecoder,
-        fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1,15 +1,16 @@
 """Scoring stage: payload attachment + per-item candidate scoring.
 
-The blocking shuffle is thin (qid, osm_uid, dist); payloads attach to the
-surviving pairs afterwards so each record's payload crosses the wire once:
+The blocking shuffle is thin (qid_key, osm_key, dist — int64 keys, see
+stages/parse entity keys); payloads attach to the surviving pairs
+afterwards so each record's payload crosses the wire once:
 
-  stage A  union(thin pairs ⊎ OSM records) hash-bucketed by osm id →
+  stage A  union(thin pairs ⊎ OSM records) hash-bucketed by osm_key →
            per-bucket pandas merge attaches osm_payload
-  stage B  union(stage-A pairs ⊎ WD records) hash-bucketed by qid →
-           ScorerReducer actors score each item group (rule tables compiled
-           once per actor in __init__; SURVEY.md §2.3)
+  stage B  union(stage-A pairs ⊎ WD records) hash-bucketed by qid_key →
+           ScorerReducer scores each item group (rule tables compiled once
+           per worker process; SURVEY.md §2.3)
 
-Both stages reuse the bucketed-groupby pattern (see blocking.add_bucket).
+Both stages reuse the bucketed-groupby pattern (blocking.add_bucket_int).
 """
 
 from __future__ import annotations
