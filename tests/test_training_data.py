@@ -91,11 +91,27 @@ def test_ann_topk_matches_bruteforce(ray_session):
 
 
 def test_media_features_stub(ray_session):
-    from osm_wikidata_ray.pipelines.multimodal import MediaDecoder, media_features
-    from osm_wikidata_ray.sources.synth import generate_corpus
+    """Real netpbm decode end-to-end; non-netpbm formats without codec
+    libraries raise a clear NotImplementedError."""
+    import pyarrow as pa
 
+    from osm_wikidata_ray.pipelines.multimodal import (
+        MediaDecoder,
+        decode_netpbm,
+        encode_ppm,
+        media_features,
+    )
+    from osm_wikidata_ray.sources.synth import generate_corpus
+    import numpy as np
+
+    # PPM roundtrip through the real decoder
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(decode_netpbm(encode_ppm(px)), px)
+    # codec-less formats fail loudly (JPEG magic)
     with pytest.raises(NotImplementedError):
-        MediaDecoder(fake=False)
+        MediaDecoder(fake=False)(
+            pa.table({"media_id": ["m"], "payload": [b"\xff\xd8\xff..."]})
+        )
 
     docs, _ = generate_corpus(60)
     ds = ray_session.data.from_items(docs).repartition(2)
