@@ -39,8 +39,20 @@ def _sf_from_dir(sf_dir: str) -> str:
     return m.group(1) if m else "0.01"
 
 
+def _corpus_fingerprint() -> str:
+    """Version tag for the synth corpus: changing the generator (families,
+    seed) changes the dump filename, so a stale /tmp dump from an earlier
+    code version can never be silently reused."""
+    import hashlib
+
+    from osm_wikidata_ray.sources.synth import FAMILIES, HOT_KEY_EVERY, SEED
+
+    sig = ",".join(name for name, _ in FAMILIES) + f":{SEED}:{HOT_KEY_EVERY}"
+    return hashlib.md5(sig.encode()).hexdigest()[:8]
+
+
 def _docs_dump_path(n: int) -> str:
-    return f"/tmp/graft_synth_docs_{n}.parquet"
+    return f"/tmp/graft_synth_docs_{n}_{_corpus_fingerprint()}.parquet"
 
 
 def _ensure_docs_dump(n: int) -> str:
@@ -214,6 +226,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _stopword_list_sql() -> str:
+    """DuckDB list literal of the engine's stopword table (single source of
+    truth in pipelines/training_data._STOPWORDS)."""
+    from osm_wikidata_ray.pipelines.training_data import _STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
 def _bpe_pattern_sql() -> str:
     """The engine's BPE pretokenizer pattern, SQL-string-escaped (single
     source of truth in pipelines/training_data.BPE_PATTERN)."""
@@ -355,7 +375,10 @@ def oracle_sql() -> dict[str, str]:
                    length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS n_punct,
                    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> list_contains({_stopword_list_sql()}, lower(t))))::BIGINT
+                       AS n_stop
             FROM documents ORDER BY doc_id
         """,
         "dedup_exact": """

@@ -104,7 +104,10 @@ def token_counts_bpe(sf_dir: str) -> "ray.data.Dataset":
 
 
 def quality_score(sf_dir: str) -> "ray.data.Dataset":
-    """Heuristic quality components (ints for oracle-exact comparison)."""
+    """Heuristic quality components (ints for oracle-exact comparison):
+    length, punctuation, case, digits, token count and stopword count —
+    the length/punct/stopword-ratio family of corpus quality filters."""
+    stop_arr = pa.array(_STOPWORDS)
 
     def score(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -116,9 +119,19 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
         n_digit = pc.subtract(
             n_chars, pc.utf8_length(pc.replace_substring_regex(text, "[0-9]", ""))
         )
-        n_tokens = pc.list_value_length(
-            pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-        )
+        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        n_tokens = pc.list_value_length(tokens)
+        # stopword count: flatten once, one is_in kernel, segmented sum
+        lower_tokens = pc.utf8_lower(pc.list_flatten(tokens))
+        is_stop = pc.is_in(lower_tokens, value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        counts = n_tokens.to_numpy(zero_copy_only=False)
+        starts = np.cumsum(counts) - counts
+        n_stop = np.zeros(len(batch), dtype=np.int64)
+        nonempty = counts > 0
+        if nonempty.any():
+            n_stop[nonempty] = np.add.reduceat(is_stop, starts[nonempty])
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -127,6 +140,7 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
                 "n_upper": n_upper,
                 "n_digit": n_digit,
                 "n_tokens": n_tokens,
+                "n_stop": pa.array(n_stop, pa.int64()),
             }
         )
 

@@ -301,3 +301,28 @@ def test_blocking_recall_on_rewrite_pairs():
             found += 1
     recall = found / len(adversarial)
     assert recall == 1.0, f"blocking recall on rewrite pairs: {recall}"
+
+
+def test_osm_language_counts(ray_session):
+    """OSM-side name:xx language counts over candidate rows (reference
+    languages_osm place.py:1061-1076 / ItemCandidate.languages)."""
+    import random
+
+    from osm_wikidata_ray.pipelines.linkage import osm_language_counts, run_linkage
+    from osm_wikidata_ray.sources.synth import _Scenario
+
+    s = _Scenario(6000, random.Random("osm-langs"))
+    name = f"{s.stem} Chapel"
+    s.add_wd({name: [("label", "en")]},
+             ["amenity=place_of_worship", "religion=christian"])
+    s.add_osm(
+        {"name": name, "name:fr": f"Chapelle {s.stem}", "name:de": name,
+         "amenity": "place_of_worship", "religion": "christian"},
+        osm_type="way", north_m=40,
+    )
+    docs = [{"doc_id": d, "spans": sp} for d, sp in s.docs]
+    ds = ray_session.data.from_items(docs).repartition(2)
+    res = run_linkage(ds, with_clusters=False, scorer_concurrency=(1, 2))
+    langs = osm_language_counts(res.candidates).to_pandas()
+    counts = dict(zip(langs["lang"], langs["sum(n)"]))
+    assert counts == {"fr": 1, "de": 1}, counts
