@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from ..util import default_partitions, list_column_to_matrix
+from ..util import default_partitions, list_column_to_matrix, table_from_pandas
 
 PUNCT_RE = "[^a-zA-Z0-9 ]"  # shared with the SQL oracle — keep in sync
 _STOPWORDS = (
@@ -410,7 +410,7 @@ def _bucket_candidate_pairs(group: pd.DataFrame) -> pa.Table:
     if not outs:
         return _PAIR_SCHEMA.empty_table()
     out = pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
-    return pa.Table.from_pandas(out, schema=_PAIR_SCHEMA, preserve_index=False)
+    return table_from_pandas(out, _PAIR_SCHEMA)
 
 
 def _attach_by_key(
@@ -467,7 +467,7 @@ def _attach_by_key(
         )
         # explicit schema keeps empty buckets schema-stable (no null-typed
         # object columns leaking into the stream)
-        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
+        return table_from_pandas(merged, out_schema)
 
     unioned = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
         ref.map_batches(tag_ref, batch_format="pyarrow")
@@ -561,7 +561,7 @@ def _attach_pair_payloads(
         merged = p.merge(
             refs.drop_duplicates("join_key"), on="join_key", how="inner"
         ).drop(columns=["join_key"])
-        return pa.Table.from_pandas(merged, schema=side_schema, preserve_index=False)
+        return table_from_pandas(merged, side_schema)
 
     pair_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -576,7 +576,7 @@ def _attach_pair_payloads(
         ).rename(columns={
             "payload_l": f"{payload_col}_a", "payload_r": f"{payload_col}_b",
         })
-        return pa.Table.from_pandas(merged, schema=pair_schema, preserve_index=False)
+        return table_from_pandas(merged, pair_schema)
 
     unioned = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
         ref.map_batches(tag_ref, batch_format="pyarrow")
@@ -621,7 +621,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
         )
         est = (sa == sb).mean(axis=1)
         keep = batch.loc[est >= threshold, ["doc_a", "doc_b"]]
-        return pa.Table.from_pandas(keep, schema=_PAIR_SCHEMA, preserve_index=False)
+        return table_from_pandas(keep, _PAIR_SCHEMA)
 
     return attached.map_batches(verify, batch_format="pandas")
 

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from ..util import table_from_pandas
+
 from ..geo import haversine_m
 from ..rules.reduce import CANDIDATE_LIMIT
 
@@ -322,7 +324,7 @@ def emit_pairs_bucket(bucket: pd.DataFrame) -> pa.Table:
          "dist": dists}
     ).drop_duplicates(["qid_key", "osm_key"], ignore_index=True)
     # a pair discovered under several keys of this bucket is scored once
-    return pa.Table.from_pandas(out, schema=_PAIR_SCHEMA, preserve_index=False)
+    return table_from_pandas(out, _PAIR_SCHEMA)
 
 
 _PAIR_COLUMNS = ["qid_key", "osm_key", "dist"]

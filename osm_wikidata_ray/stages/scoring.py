@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray
 
+from ..util import table_from_pandas
+
 from ..rules.reduce import (
     CANDIDATE_LIMIT,
     choose_single_candidate,
@@ -100,7 +102,7 @@ def _attach_osm_bucket(bucket: pd.DataFrame) -> pa.Table:
             "osm_checksum": merged["span_checksum_rec"],
         }
     )
-    return pa.Table.from_pandas(out, schema=_ATTACHED_SCHEMA, preserve_index=False)
+    return table_from_pandas(out, _ATTACHED_SCHEMA)
 
 
 def attach_osm_payloads(

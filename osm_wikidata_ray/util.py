@@ -25,3 +25,12 @@ def list_column_to_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     flat = col.flatten().to_numpy(zero_copy_only=False)
     n = len(col)
     return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
+
+
+def table_from_pandas(df, schema: "pa.Schema") -> "pa.Table":
+    """pa.Table.from_pandas with the pandas metadata stripped — Ray's block
+    schema hashing chokes on the metadata dict ("Failed to hash the
+    schemas"), and carrying it serves nothing in a shuffle."""
+    return pa.Table.from_pandas(
+        df, schema=schema, preserve_index=False
+    ).replace_schema_metadata(None)
