@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q_top_customers": td.top_customers,
         "q_events_by_type": lambda sf: td.events_by_type(sf).sort(["event_type"]),
+        "q_events_hourly": lambda sf: td.events_hourly(sf).sort(
+            ["hour", "event_type"]
+        ),
         "q_sessionize": lambda sf: td.sessionize_events(sf).sort(
             ["user_id", "session_no"]
         ),
@@ -465,6 +468,11 @@ def oracle_sql() -> dict[str, str]:
         "q_events_by_type": """
             SELECT event_type, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         """,
         "q_sessionize": """
             WITH ordered AS (

@@ -182,6 +182,73 @@ class MediaDecoder:
         )
 
 
+def split_netpbm_frames(data: bytes) -> list[np.ndarray]:
+    """Concatenated binary PPM/PGM frames → list of pixel matrices (the
+    naive 'video' container: each frame is a self-delimiting netpbm image)."""
+    frames: list[np.ndarray] = []
+    i = 0
+    while i < len(data) and data[i : i + 2] in (b"P6", b"P5"):
+        img = decode_netpbm(data[i:])
+        frames.append(img)
+        channels = 3 if img.ndim == 3 else 1
+        # advance past this frame: re-scan the 3 header fields to find the
+        # pixel offset, then skip w·h·channels pixel bytes
+        j = i + 2
+        fields = 0
+        while fields < 3:
+            while data[j : j + 1].isspace():
+                j += 1
+            if data[j : j + 1] == b"#":
+                while data[j : j + 1] != b"\n":
+                    j += 1
+                continue
+            while not data[j : j + 1].isspace():
+                j += 1
+            fields += 1
+        j += 1
+        i = j + img.shape[0] * img.shape[1] * channels
+    return frames
+
+
+class FrameSampler:
+    """Actor-pool frame-sample stage for 'video' payloads (concatenated
+    netpbm frames): keep every `stride`-th frame, emit one feature row per
+    sampled frame.  Same actor signature/batch sizing as MediaDecoder."""
+
+    OUT_SCHEMA = pa.schema(
+        [("media_id", pa.string()), ("frame_no", pa.int32()),
+         ("feature", pa.list_(pa.float32()))]
+    )
+
+    def __init__(self, stride: int = 2, target_size: int = 8) -> None:
+        self.stride = stride
+        self.target_size = target_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_nos, feats = [], [], []
+        for media_id, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            for k, img in enumerate(split_netpbm_frames(payload)):
+                if k % self.stride:
+                    continue
+                gray = (
+                    img.astype(np.float64).mean(axis=2)
+                    if img.ndim == 3
+                    else img.astype(np.float64)
+                )
+                resized = block_mean_resize(gray, self.target_size)
+                ids.append(media_id)
+                frame_nos.append(k)
+                feats.append(resized.mean(axis=0).astype(np.float32).tolist())
+        return pa.table(
+            {"media_id": pa.array(ids, pa.string()),
+             "frame_no": pa.array(frame_nos, pa.int32()),
+             "feature": pa.array(feats, pa.list_(pa.float32()))},
+            schema=self.OUT_SCHEMA,
+        )
+
+
 def media_features(
     docs: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4), batch_size: int = 64
 ) -> "ray.data.Dataset":

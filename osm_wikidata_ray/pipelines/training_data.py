@@ -1240,6 +1240,37 @@ def events_by_type(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window (hourly) event aggregate per type — the windowed
+    groupby pattern with a calendar window: vectorized timestamp floor,
+    partial rows, one small groupby."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table(
+            {"hour": hour, "event_type": batch.column("event_type"),
+             "value": batch.column("value")}
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(derive, batch_format="pyarrow")
+        .groupby(["hour", "event_type"], num_partitions=default_partitions())
+        .aggregate(*_sum_cols(["value"]))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": batch.column("hour"),
+                "event_type": batch.column("event_type"),
+                "sum_value": pc.round(batch.column("sum(value)"), 2),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Sessionized event aggregate: per-user sessions split on >gap idle
     (the windowed-aggregate pattern: hash-bucket by user, vectorized

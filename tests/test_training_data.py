@@ -182,3 +182,31 @@ def test_token_counts_bpe(ray_session):
         expected[source] = expected.get(source, 0) + len(pat.findall(text or ""))
     got = dict(zip(out["source"], out["sum(n_tokens)"]))
     assert got == expected
+
+
+def test_frame_sampler(ray_session):
+    """Concatenated-netpbm 'video' container: frame split roundtrip + the
+    actor-pool sampling stage keeps every stride-th frame."""
+    import pyarrow as pa
+
+    from osm_wikidata_ray.pipelines.multimodal import (
+        FrameSampler,
+        encode_ppm,
+        split_netpbm_frames,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(5)]
+    blob = b"".join(encode_ppm(f) for f in frames)
+    out = split_netpbm_frames(blob)
+    assert len(out) == 5 and all(np.array_equal(a, b) for a, b in zip(out, frames))
+
+    media = ray_session.data.from_arrow(
+        pa.table({"media_id": ["v1", "v2"], "payload": [blob, blob]})
+    )
+    sampled = media.map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": 2},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+    assert sorted(sampled[sampled.media_id == "v1"].frame_no) == [0, 2, 4]
+    assert all(len(f) == 8 for f in sampled.feature)
