@@ -96,6 +96,55 @@ def cmd_verify(args: argparse.Namespace) -> None:
     sys.exit(0 if bad == 0 else 1)
 
 
+def cmd_match_one(args: argparse.Namespace) -> None:
+    """Score a single item against its blocked candidates (the reference's
+    individual_match, cli.py:377-396 → matcher.run_individual_match
+    matcher.py:1138-1146; also the /api/1/item/Q… single-item flow,
+    api_view.py:36-106 — both run the scorer DB-free on one item, which is
+    exactly the single-process oracle path here)."""
+    import pyarrow.parquet as pq
+
+    from .rules.reduce import choose_single_candidate, score_item_candidates
+    from .rules.ruleset import RuleSet
+    from .sources.oracle import candidate_rows_for_items, decode_corpus
+
+    t = pq.read_table(args.input)
+    docs = t.to_pylist()
+    items, objs = decode_corpus(docs)
+    item = next((i for i in items if i["qid"] == args.qid), None)
+    if item is None:
+        print(json.dumps({"qid": args.qid, "error": "item not found"}))
+        sys.exit(1)
+    rows = candidate_rows_for_items([item], objs)[args.qid]
+    cands = score_item_candidates(item, rows, RuleSet())
+    chosen, note = (None, "no candidates")
+    if cands:
+        chosen, note = choose_single_candidate(item, cands)
+    print(
+        json.dumps(
+            {
+                "qid": args.qid,
+                "candidates": [
+                    {
+                        "osm_type": c["osm_type"],
+                        "osm_id": c["osm_id"],
+                        "dist_m": round(c["dist"], 1),
+                        "identifier_match": bool(c["identifier_match"]),
+                        "name_match_keys": sorted(c["name_match"].keys()),
+                        "matching_tags": sorted(c["matching_tags"]),
+                    }
+                    for c in cands
+                ],
+                "chosen": (
+                    f"{chosen['osm_type']}/{chosen['osm_id']}" if chosen else None
+                ),
+                "note": note,
+            },
+            ensure_ascii=False,
+        )
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(prog="osm_wikidata_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -119,6 +168,13 @@ def main() -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser(
+        "match-one", help="score one item against its candidates (no Ray)"
+    )
+    p.add_argument("--input", required=True, help="doc table (parquet)")
+    p.add_argument("--qid", required=True)
+    p.set_defaults(fn=cmd_match_one)
 
     args = parser.parse_args()
     args.fn(args)

@@ -63,6 +63,7 @@ def run_linkage(
     keep_rejects: bool = False,
     ruleset_kwargs: dict[str, Any] | None = None,
     want_isa: set[str] | None = None,
+    bad_qids: set[str] | None = None,
     fuse_shuffles: bool = False,
 ) -> LinkageResult:
     """Assemble the full linkage pipeline over a docs Dataset.
@@ -134,7 +135,10 @@ def run_linkage(
         # doesn't re-execute per consumer (spillable; candidates ≪ input)
         candidates = candidates.materialize()
 
-    resolved = ckpt.run("resolved", lambda: clustering.resolve_conflicts(candidates))
+    resolved = ckpt.run(
+        "resolved",
+        lambda: clustering.resolve_conflicts(candidates, bad_qids=bad_qids),
+    )
     if checkpoint_dir is None:
         resolved = resolved.materialize()
     accepted = clustering.accepted_pairs(resolved)

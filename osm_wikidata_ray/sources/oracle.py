@@ -73,6 +73,7 @@ def oracle_accepted_pairs(
     docs: Iterable[dict[str, Any]],
     ruleset: RuleSet | None = None,
     want_isa: set[str] | None = None,
+    bad_qids: set[str] | None = None,
 ) -> list[dict[str, Any]]:
     """Accepted (qid, osm) pairs after all per-item and cross-item filters."""
     ruleset = ruleset or RuleSet()
@@ -98,6 +99,8 @@ def oracle_accepted_pairs(
     # cross-item 1:1 constraint (matcher.py:1473-1475)
     accepted = []
     for qid, c in sorted(chosen.items()):
+        if bad_qids and qid in bad_qids:  # matcher.py:1445-1447
+            continue
         if osm_count[(c["osm_type"], c["osm_id"])] > 1:
             continue
         if "wikidata" in c["tags"]:  # already tagged (matcher.py:1477-1479)
@@ -106,6 +109,34 @@ def oracle_accepted_pairs(
             {"qid": qid, "osm_type": c["osm_type"], "osm_id": c["osm_id"], "dist": c["dist"]}
         )
     return accepted
+
+
+def blocking_recall(
+    docs: Iterable[dict[str, Any]], gold_pairs: Iterable[dict[str, Any]]
+) -> dict[str, Any]:
+    """Fraction of gold match pairs discoverable at the blocking stage
+    (share ≥1 blocking key AND pass the distance gate) — the measured
+    recall ADVICE.md asked to report separately from end-to-end F1 (the
+    reference's spatial candidate SQL needs no name overlap; ours must
+    reach every pair through name/identifier/address/geo keys)."""
+    items, objs = decode_corpus(docs)
+    per_item = candidate_rows_for_items(items, objs)
+    reachable = {
+        (qid, r["osm_type"], r["osm_id"])
+        for qid, rows in per_item.items()
+        for r in rows
+    }
+    gold = [
+        (g["qid"], g["osm_type"], g["osm_id"])
+        for g in gold_pairs
+        if g["label"] == "match"
+    ]
+    missed = [g for g in gold if g not in reachable]
+    return {
+        "recall": 1.0 - len(missed) / len(gold) if gold else 1.0,
+        "n_gold": len(gold),
+        "missed": missed,
+    }
 
 
 def pairwise_f1(

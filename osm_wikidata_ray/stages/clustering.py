@@ -29,8 +29,17 @@ import ray
 from ..util import default_partitions
 
 
-def resolve_conflicts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
+def resolve_conflicts(
+    candidates: "ray.data.Dataset",
+    bad_qids: set[str] | None = None,
+) -> "ray.data.Dataset":
     """chosen candidates → accepted pairs after the cross-item 1:1 gate.
+
+    ``bad_qids``: items with recorded bad matches (the reference's
+    human-feedback BadMatch table, matcher.py:1445-1447) — their chosen
+    candidates are reported with note "has bad match", never accepted; their
+    candidate rows still count toward the 1:1 constraint exactly as in the
+    reference (the count loop runs before the bad gate).
 
     The reference counts every stored candidate occurrence across all items
     (matcher.py:1430-1443), so a chosen match whose OSM object is also a
@@ -70,15 +79,21 @@ def resolve_conflicts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
     )
     conflicted = {r["osm_uid"] for r in counts.take_all()}
 
+    bad = bad_qids or set()
+
     def gate(batch: pa.Table) -> pa.Table:
         uid = pc.binary_join_element_wise(
             batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
         ).to_pylist()
+        qids = batch.column("qid").to_pylist()
         already = batch.column("already_tagged").to_pylist()
         notes = batch.column("note").to_pylist()
         accepted, out_notes = [], []
-        for u, a, note in zip(uid, already, notes):
-            if u in conflicted:
+        for q, u, a, note in zip(qids, uid, already, notes):
+            if q in bad:  # matcher.py:1445-1447
+                accepted.append(False)
+                out_notes.append("has bad match")
+            elif u in conflicted:
                 accepted.append(False)
                 out_notes.append("OSM candidate matches multiple Wikidata items")
             elif a:

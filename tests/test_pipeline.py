@@ -326,3 +326,43 @@ def test_osm_language_counts(ray_session):
     langs = osm_language_counts(res.candidates).to_pandas()
     counts = dict(zip(langs["lang"], langs["sum(n)"]))
     assert counts == {"fr": 1, "de": 1}, counts
+
+
+def test_corpus_blocking_recall(corpus):
+    """Corpus-level blocking recall over all gold match pairs = 1.0 —
+    every planted pair is discoverable at the blocking stage (reported
+    separately from F1 per ADVICE.md)."""
+    from osm_wikidata_ray.sources.oracle import blocking_recall
+
+    docs, gold = corpus
+    rep = blocking_recall(docs, gold)
+    assert rep["recall"] == 1.0, rep["missed"][:5]
+
+
+def test_bad_qids_gate(ray_session):
+    """Items with recorded bad matches are reported, never accepted
+    (reference filter_candidates_more bad gate, matcher.py:1445-1447)."""
+    import random
+
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+    from osm_wikidata_ray.sources.oracle import oracle_accepted_pairs
+    from osm_wikidata_ray.sources.synth import _Scenario
+
+    s = _Scenario(7000, random.Random("bad"))
+    name = f"{s.stem} Forge"
+    q = s.add_wd({name: [("label", "en")]}, ["craft=blacksmith"])
+    s.add_osm({"name": name, "craft": "blacksmith"}, north_m=30)
+    docs = [{"doc_id": d, "spans": sp} for d, sp in s.docs]
+    ds = ray_session.data.from_items(docs).repartition(2)
+
+    res = run_linkage(ds, with_clusters=False, scorer_concurrency=(1, 2),
+                      bad_qids={q})
+    resolved = res.resolved.to_pandas()
+    assert len(resolved) == 1
+    assert not resolved["accepted"].iloc[0]
+    assert resolved["note"].iloc[0] == "has bad match"
+    assert res.accepted.count() == 0
+    assert oracle_accepted_pairs(docs, bad_qids={q}) == []
+    # without the gate the pair is accepted
+    res2 = run_linkage(ds, with_clusters=False, scorer_concurrency=(1, 2))
+    assert res2.accepted.count() == 1
