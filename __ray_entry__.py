@@ -40,15 +40,15 @@ def _sf_from_dir(sf_dir: str) -> str:
 
 
 def _corpus_fingerprint() -> str:
-    """Version tag for the synth corpus: changing the generator (families,
-    seed) changes the dump filename, so a stale /tmp dump from an earlier
-    code version can never be silently reused."""
+    """Version tag for the synth corpus: ANY change to the generator source
+    (family bodies included — a name-list sig missed those) changes the dump
+    filename, so a stale /tmp dump from an earlier code version can never be
+    silently reused."""
     import hashlib
 
-    from osm_wikidata_ray.sources.synth import FAMILIES, HOT_KEY_EVERY, SEED
+    from osm_wikidata_ray.sources import synth
 
-    sig = ",".join(name for name, _ in FAMILIES) + f":{SEED}:{HOT_KEY_EVERY}"
-    return hashlib.md5(sig.encode()).hexdigest()[:8]
+    return hashlib.md5(open(synth.__file__, "rb").read()).hexdigest()[:8]
 
 
 def _docs_dump_path(n: int) -> str:

@@ -169,20 +169,28 @@ def fam_exact(s: _Scenario) -> None:
     """Exact name match (ref tests/test_match.py:213-231).
 
     Carries a second (de) label so the language-count tail cut
-    (place.py:1095-1101) has a sub-10% language to suppress."""
+    (place.py:1095-1101) has a sub-10% language to suppress; the OSM side
+    carries a matching name:de tag so stored candidates have languages for
+    languages_osm (place.py:1061-1076, model.py:1243-1244 — candidate
+    languages are name:xx tag KEYS, so the value mirrors name)."""
     name = f"{s.stem} Park"
     q = s.add_wd({name: [("label", "en"), ("label", "de")]}, ["leisure=park"])
-    o = s.add_osm({"name": name, "leisure": "park"}, north_m=60)
+    o = s.add_osm({"name": name, "name:de": name, "leisure": "park"}, north_m=60)
     s.expect(q, o, "match", "name-good")
 
 
 def fam_case(s: _Scenario) -> None:
     """Case/punctuation-only differences.  Carries an sv label (language
-    stats: counted, unlike {ceb,sv}-only items, place.py:1085-1088)."""
+    stats: counted, unlike {ceb,sv}-only items, place.py:1085-1088) and a
+    matching OSM name:sv tag (languages_osm material, place.py:1061-1076)."""
     q = s.add_wd(
         {f"{s.stem} Hotel": [("label", "en"), ("label", "sv")]}, ["tourism=hotel"]
     )
-    o = s.add_osm({"name": f"{s.stem.upper()} HOTEL", "tourism": "hotel"}, east_m=40)
+    o = s.add_osm(
+        {"name": f"{s.stem.upper()} HOTEL", "name:sv": f"{s.stem.upper()} HOTELL",
+         "tourism": "hotel"},
+        east_m=40,
+    )
     s.expect(q, o, "match", "name-good")
 
 
