@@ -70,6 +70,70 @@ def _ensure_docs_dump(n: int) -> str:
     return path
 
 
+def _rules_fingerprint() -> str:
+    """Version tag for the serial-oracle dumps: covers the synth corpus AND
+    every module the serial oracle's answer depends on (rules, key/span
+    functions, the oracle itself) — any behavior change regenerates."""
+    import glob
+    import hashlib
+
+    import osm_wikidata_ray
+
+    pkg = os.path.dirname(osm_wikidata_ray.__file__)
+    h = hashlib.md5(_corpus_fingerprint().encode())
+    for pattern in ("rules/*.py", "functions/*.py", "sources/oracle.py", "geo.py"):
+        for path in sorted(glob.glob(os.path.join(pkg, pattern))):
+            h.update(open(path, "rb").read())
+    return h.hexdigest()[:8]
+
+
+def _ensure_oracle_dump(n: int) -> dict[str, str]:
+    """Run the single-process serial oracle (sources/oracle.py — same rule
+    library, independent orchestration: plain loops, no Ray, no shuffles)
+    over the docs dump and write its candidates/accepted/clusters tables as
+    parquet.  The DuckDB oracle SQL for the flagship scored-pair views reads
+    these, so the driver check proves the distributed blocking + payload
+    attach + scoring + 1:1 gate + clustering machinery reproduces the
+    serial answer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = _rules_fingerprint()
+    paths = {
+        name: f"/tmp/graft_oracle_{name}_{n}_{fp}.parquet"
+        for name in ("candidates", "accepted", "clusters")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+
+    from osm_wikidata_ray.sources.oracle import oracle_tables
+    from osm_wikidata_ray.sources.synth import generate_corpus
+
+    docs, _gold = generate_corpus(n)
+    tables = oracle_tables(docs)
+    schemas = {
+        "candidates": pa.schema(
+            [("qid", pa.string()), ("osm_type", pa.string()),
+             ("osm_id", pa.int64()), ("identifier_match", pa.bool_()),
+             ("chosen", pa.bool_()), ("langs", pa.list_(pa.string()))]
+        ),
+        "accepted": pa.schema(
+            [("qid", pa.string()), ("osm_type", pa.string()),
+             ("osm_id", pa.int64()), ("dist", pa.float64())]
+        ),
+        "clusters": pa.schema(
+            [("node", pa.string()), ("cluster_id", pa.string())]
+        ),
+    }
+    for name, path in paths.items():
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pylist(tables[name], schema=schemas[name]), tmp
+        )
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    return paths
+
+
 def _synth_docs_ds(sf_dir: str):
     import ray
 
@@ -269,7 +333,29 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(s.text, '') || chr(31) || coalesce(s.media_ref, '') || chr(30)), "
         "'string_agg', ''))"
     )
+    oracle_dumps = _ensure_oracle_dump(_SF_DOCS["0.01"])
     return {
+        # flagship scored-pair views vs the single-process serial oracle
+        # (sources/oracle.py) — same rule library, independent orchestration
+        "linkage_accepted": f"""
+            SELECT qid, osm_type, osm_id
+            FROM read_parquet('{oracle_dumps["accepted"]}') ORDER BY qid
+        """,
+        "linkage_candidates": f"""
+            SELECT qid, osm_type, osm_id, identifier_match, chosen
+            FROM read_parquet('{oracle_dumps["candidates"]}')
+            ORDER BY qid, osm_type, osm_id
+        """,
+        "linkage_clusters": f"""
+            SELECT node, cluster_id
+            FROM read_parquet('{oracle_dumps["clusters"]}') ORDER BY node
+        """,
+        "linkage_osm_lang_counts": f"""
+            SELECT lang, count(*)::BIGINT AS "sum(n)"
+            FROM (SELECT unnest(langs) AS lang
+                  FROM read_parquet('{oracle_dumps["candidates"]}'))
+            GROUP BY lang ORDER BY lang
+        """,
         "linkage_parse": f"""
             WITH docs AS (SELECT * FROM read_parquet({dump})),
             parsed AS (

@@ -69,32 +69,56 @@ def candidate_rows_for_items(
     return per_item
 
 
-def oracle_accepted_pairs(
+def oracle_tables(
     docs: Iterable[dict[str, Any]],
     ruleset: RuleSet | None = None,
     want_isa: set[str] | None = None,
     bad_qids: set[str] | None = None,
-) -> list[dict[str, Any]]:
-    """Accepted (qid, osm) pairs after all per-item and cross-item filters."""
+) -> dict[str, list[dict[str, Any]]]:
+    """Full serial-oracle output: stored-candidate rows, accepted pairs and
+    cluster labels — the same three views the Ray engine emits
+    (stages/scoring.CANDIDATE_COLUMNS subset, clustering.resolve_conflicts,
+    clustering.clusters_from_disjoint_pairs).  The driver's DuckDB oracles
+    read a parquet dump of these tables, converting the pytest
+    engine==oracle equality into the driver's hard rows+schema+hash signal.
+    """
     ruleset = ruleset or RuleSet()
     items, objs = decode_corpus(docs)
     per_item = candidate_rows_for_items(items, objs)
     items_by_qid = {i["qid"]: i for i in items}
 
+    candidates: list[dict[str, Any]] = []
     chosen: dict[str, dict] = {}
     # the 1:1 gate counts every stored candidate occurrence across all
     # items (matcher.py:1430-1443), not just chosen ones
     osm_count: Counter[tuple] = Counter()
-    for qid, rows in per_item.items():
+    for qid, rows in sorted(per_item.items()):
         cands = score_item_candidates(
             items_by_qid[qid], rows, ruleset, want_isa=want_isa
         )
         if not cands:
             continue
         osm_count.update((c["osm_type"], c["osm_id"]) for c in cands)
-        cand, note = choose_single_candidate(items_by_qid[qid], cands)
+        cand, _note = choose_single_candidate(items_by_qid[qid], cands)
         if cand is not None:
             chosen[qid] = cand
+        chosen_uid = (
+            (cand["osm_type"], cand["osm_id"]) if cand is not None else None
+        )
+        for c in cands:
+            candidates.append(
+                {
+                    "qid": qid,
+                    "osm_type": c["osm_type"],
+                    "osm_id": int(c["osm_id"]),
+                    "identifier_match": bool(c["identifier_match"]),
+                    "chosen": (c["osm_type"], c["osm_id"]) == chosen_uid,
+                    # candidate languages = name:xx tag keys (model.py:1243-1244)
+                    "langs": sorted(
+                        k[5:] for k in c["tags"] if k.startswith("name:")
+                    ),
+                }
+            )
 
     # cross-item 1:1 constraint (matcher.py:1473-1475)
     accepted = []
@@ -108,7 +132,29 @@ def oracle_accepted_pairs(
         accepted.append(
             {"qid": qid, "osm_type": c["osm_type"], "osm_id": c["osm_id"], "dist": c["dist"]}
         )
-    return accepted
+
+    # 1:1-gated pairs are disjoint → cluster label = min endpoint (the
+    # engine's clusters_from_disjoint_pairs closed form)
+    clusters = []
+    for a in accepted:
+        uid = f"{a['osm_type']}/{a['osm_id']}"
+        label = min(a["qid"], uid)
+        clusters.append({"node": a["qid"], "cluster_id": label})
+        clusters.append({"node": uid, "cluster_id": label})
+
+    return {"candidates": candidates, "accepted": accepted, "clusters": clusters}
+
+
+def oracle_accepted_pairs(
+    docs: Iterable[dict[str, Any]],
+    ruleset: RuleSet | None = None,
+    want_isa: set[str] | None = None,
+    bad_qids: set[str] | None = None,
+) -> list[dict[str, Any]]:
+    """Accepted (qid, osm) pairs after all per-item and cross-item filters."""
+    return oracle_tables(docs, ruleset, want_isa=want_isa, bad_qids=bad_qids)[
+        "accepted"
+    ]
 
 
 def blocking_recall(
