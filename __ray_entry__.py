@@ -5,18 +5,20 @@ runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash).  Nothing here calls ray.init()/ray.shutdown().
 
-Query families:
+Query families (every query carries an exact DuckDB oracle):
   linkage_*   the flagship record-linkage engine over the interleaved
               text+media doc table (synthesized deterministically per sf to
               a /tmp parquet dump that the DuckDB oracles read too — the
-              parse/span/lang/isa views carry exact SQL oracles; the
-              scored-pair views are rows-only and gated by the
-              tests/test_pipeline.py F1-vs-oracle suite)
+              parse/span/lang/isa views carry direct SQL oracles; the
+              scored-pair views compare against a parquet dump of the
+              single-process serial oracle, sources/oracle.py, which the
+              tests/test_pipeline.py F1 suite pins to planted gold)
   dedup_* / ann_* / lang_id / doc_* / token_counts* / quality
-              training-data operators over documents/embeddings; exact
-              oracles where SQL can reproduce the math (ngram jaccard,
+              training-data operators over documents/embeddings; direct
+              SQL oracles where SQL can reproduce the math (ngram jaccard,
               block-nested cosine, fingerprints, lang id, BPE counts);
-              hash-seeded LSH ops are rows-only with pytest recall gates
+              seeded-LSH ops compare against serial expected-output dumps
+              (sources/td_oracle.py)
   q_*         relational operator proofs over the TPC-H-ish tables with
               exact DuckDB oracles
 """
@@ -134,6 +136,42 @@ def _ensure_oracle_dump(n: int) -> dict[str, str]:
     return paths
 
 
+_TD_SF_DIR = "/root/testdata/sf0.01"  # driver compares oracles at sf=0.01
+
+
+def _td_fingerprint() -> str:
+    """Version tag for the training-data oracle dumps: covers the serial
+    oracle, the pipeline module (shared seed/constant spec) and the input
+    table identities."""
+    import hashlib
+
+    import osm_wikidata_ray
+
+    pkg = os.path.dirname(osm_wikidata_ray.__file__)
+    h = hashlib.md5()
+    for rel in ("sources/td_oracle.py", "pipelines/training_data.py"):
+        h.update(open(os.path.join(pkg, rel), "rb").read())
+    for t in ("documents", "embeddings"):
+        st = os.stat(f"{_TD_SF_DIR}/{t}.parquet")
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:8]
+
+
+def _ensure_td_oracle_dump(name: str) -> str:
+    """Compute the serial expected output of a seeded-LSH operator over the
+    sf0.01 tables (sources/td_oracle.py — plain loops, no Ray) and dump it
+    as parquet for the DuckDB oracle to read."""
+    path = f"/tmp/graft_td_oracle_{name}_{_td_fingerprint()}.parquet"
+    if not os.path.exists(path):
+        from osm_wikidata_ray.sources import td_oracle
+
+        df = getattr(td_oracle, f"{name}_expected")(_TD_SF_DIR)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    return path
+
+
 def _synth_docs_ds(sf_dir: str):
     import ray
 
@@ -236,7 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_wikidata_ray.pipelines import training_data as td
 
     return {
-        # --- flagship linkage engine (rows-only; pytest gates F1) ---
+        # --- flagship linkage engine (serial-oracle-dump DuckDB oracles;
+        # pytest additionally gates F1 vs planted gold) ---
         "linkage_accepted": _linkage_accepted,
         "linkage_candidates": _linkage_candidates,
         "linkage_clusters": _linkage_clusters,
@@ -271,7 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "vec_id"])
         .sort(["query_id", "vec_id"]),
         # IVF scale path is approximate by contract (recall pinned ≥0.9 vs
-        # the exact baseline in pytest) — rows-only driver check
+        # the exact baseline in pytest); the driver oracle is the serial
+        # expected-output dump (same seeds, single-process)
         "ann_topk_ivf": lambda sf: td.ann_topk_ivf(sf)
         .select_columns(["query_id", "vec_id"])
         .sort(["query_id", "vec_id"]),
@@ -334,7 +374,39 @@ def oracle_sql() -> dict[str, str]:
         "'string_agg', ''))"
     )
     oracle_dumps = _ensure_oracle_dump(_SF_DOCS["0.01"])
+    td_dumps = {
+        name: _ensure_td_oracle_dump(name)
+        for name in (
+            "dedup_minhash", "dedup_simhash", "dedup_minhash_clusters",
+            "dedup_embedding_cosine", "ann_topk_ivf",
+        )
+    }
     return {
+        # seeded-LSH ops vs serial single-process expected outputs
+        # (sources/td_oracle.py): deterministic seeds → precomputed dumps
+        "dedup_minhash": f"""
+            SELECT doc_a, doc_b FROM read_parquet('{td_dumps["dedup_minhash"]}')
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_simhash": f"""
+            SELECT doc_a, doc_b FROM read_parquet('{td_dumps["dedup_simhash"]}')
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_minhash_clusters": f"""
+            SELECT canonical_doc
+            FROM read_parquet('{td_dumps["dedup_minhash_clusters"]}')
+            ORDER BY canonical_doc
+        """,
+        "dedup_embedding_cosine": f"""
+            SELECT vec_a, vec_b, "max(cos)"
+            FROM read_parquet('{td_dumps["dedup_embedding_cosine"]}')
+            ORDER BY vec_a, vec_b
+        """,
+        "ann_topk_ivf": f"""
+            SELECT query_id, vec_id
+            FROM read_parquet('{td_dumps["ann_topk_ivf"]}')
+            ORDER BY query_id, vec_id
+        """,
         # flagship scored-pair views vs the single-process serial oracle
         # (sources/oracle.py) — same rule library, independent orchestration
         "linkage_accepted": f"""

@@ -982,6 +982,10 @@ def ann_topk_ivf(
     refined = np.where(
         counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], seeds
     )
+    # rounding the mean kills batch-order float-summation noise (~1e-14)
+    # so the refined centroids are bit-identical to a serial single-pass
+    # accumulation — what lets the driver oracle reproduce this exactly
+    refined = np.round(refined, 6)
     refined /= np.linalg.norm(refined, axis=1, keepdims=True) + 1e-30
 
     q_ids = head_t.column("vec_id").to_pylist()[:n_queries]

@@ -1,0 +1,279 @@
+"""Single-process oracles for the seeded-LSH training-data operators.
+
+The distributed pipelines in pipelines/training_data.py (minhash /simhash
+near-dup, minhash clusters, embedding-LSH cosine, IVF top-k) are
+deterministic given their fixed seeds, but their math has no closed SQL
+form — these serial implementations compute the expected outputs with
+plain per-doc loops (no Ray, no shuffles, no bucketed grouping), and the
+driver's DuckDB oracles read a parquet dump of the results.  The shared
+spec (hash constants, permutation seeds, band/segment layout, bucket-cap
+policy) is imported from the pipeline module so both sides agree on the
+ALGORITHM while the ORCHESTRATION — the thing the driver check actually
+exercises — is written independently.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..pipelines.training_data import (
+    BUCKET_PAIR_CAP,
+    _lsh_planes_for,
+    _MH_A,
+    _MH_B,
+    _MH_P,
+    _MINHASH_BANDS,
+    _MINHASH_PERMS,
+    _SH_C1,
+    _SH_C2,
+    _SH_C3,
+)
+
+_MASK64 = (1 << 64) - 1
+
+
+def _read_docs(sf_dir: str) -> tuple[list[int], list[str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+
+
+def _read_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    return ids, vecs
+
+
+# --- per-doc text kernels (same spec, loop form) ---
+
+def _doc_shingle_hashes(text: str | None, n: int = 3) -> np.ndarray:
+    """Sorted-unique word-n-gram shingle hashes of ONE document."""
+    words = (text or "").lower().split()
+    if not words:
+        return np.empty(0, np.uint64)
+    if len(words) < n:
+        joined = np.array([" ".join(words)], dtype=object)
+        return pd.util.hash_array(joined, categorize=False).astype(np.uint64)
+    h = pd.util.hash_array(np.array(words, dtype=object), categorize=False)
+    sh = (h[:-2] * _SH_C1) ^ (h[1:-1] * _SH_C2) ^ (h[2:] * _SH_C3)
+    return np.unique(sh)
+
+
+def _doc_minhash(shingles: np.ndarray) -> np.ndarray:
+    """64-permutation minhash signature of ONE document's shingle set."""
+    if not len(shingles):
+        return np.zeros(_MINHASH_PERMS, np.uint64)
+    x = shingles % _MH_P
+    vals = (_MH_A[:, None] * x[None, :] + _MH_B[:, None]) % _MH_P
+    return vals.min(axis=1)
+
+
+def _band_keys(sig: np.ndarray) -> list[tuple[int, int]]:
+    """(band, hash) LSH bucket keys of one signature (16 bands × 4 rows)."""
+    rows = _MINHASH_PERMS // _MINHASH_BANDS
+    c1, c2 = int(_SH_C1), int(_SH_C2)
+    keys = []
+    for b in range(_MINHASH_BANDS):
+        acc = b + 1
+        for r in range(rows):
+            acc = ((acc * c1) & _MASK64) ^ ((int(sig[b * rows + r]) * c2) & _MASK64)
+        keys.append((b, acc))
+    return keys
+
+
+def _doc_simhash(text: str | None) -> int:
+    """uint64 simhash of ONE document (token sign-vote per bit)."""
+    words = (text or "").lower().split()
+    if not words:
+        return 0
+    h = pd.util.hash_array(np.array(words, dtype=object), categorize=False)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int32
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def _capped_bucket_pairs(ids: list[int]) -> list[tuple[int, int]]:
+    """All unordered pairs of a bucket, ring-paired over the cap (the
+    pipeline's connectivity-preserving bound on quadratic buckets)."""
+    ids = sorted(set(ids))
+    if len(ids) < 2:
+        return []
+    if len(ids) > BUCKET_PAIR_CAP:
+        return list(zip(ids[:-1], ids[1:]))
+    return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+
+
+# --- expected outputs ---
+
+def _minhash_pairs(sf_dir: str, threshold: float) -> pd.DataFrame:
+    doc_ids, texts = _read_docs(sf_dir)
+    sigs = {
+        did: _doc_minhash(_doc_shingle_hashes(t))
+        for did, t in zip(doc_ids, texts)
+    }
+    buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for did in doc_ids:
+        for bk in _band_keys(sigs[did]):
+            buckets[bk].append(did)
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        cand.update(_capped_bucket_pairs(ids))
+    keep = [
+        (a, b)
+        for a, b in sorted(cand)
+        if (sigs[a] == sigs[b]).mean() >= threshold
+    ]
+    return pd.DataFrame(keep, columns=["doc_a", "doc_b"]).astype("int64")
+
+
+def dedup_minhash_expected(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """(doc_a, doc_b) near-dup pairs: band-LSH candidates verified by
+    estimated Jaccard ≥ threshold."""
+    return _minhash_pairs(sf_dir, threshold)
+
+
+def dedup_minhash_clusters_expected(
+    sf_dir: str, threshold: float = 0.8
+) -> pd.DataFrame:
+    """One row per near-dup component: canonical (min) doc_id, via a plain
+    union-find over the serial minhash pairs."""
+    pairs = _minhash_pairs(sf_dir, threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs.itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots: defaultdict[int, int] = defaultdict(lambda: 1 << 62)
+    for x in parent:
+        r = find(x)
+        roots[r] = min(roots[r], x)
+    return pd.DataFrame(
+        {"canonical_doc": sorted(roots.values())}, dtype="int64"
+    )
+
+
+def dedup_simhash_expected(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """(doc_a, doc_b) pairs within hamming ≤ max_hamming, found through the
+    4-segment pigeonhole buckets with the pipeline's cap policy."""
+    doc_ids, texts = _read_docs(sf_dir)
+    sims = {did: _doc_simhash(t) for did, t in zip(doc_ids, texts)}
+    buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for did in doc_ids:
+        for seg in range(4):
+            buckets[(seg, (sims[did] >> (seg * 16)) & 0xFFFF)].append(did)
+    out: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        if len(ids) < 2:
+            continue
+        pairs = (
+            list(zip(ids[:-1], ids[1:]))
+            if len(ids) > BUCKET_PAIR_CAP
+            else [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        )
+        for a, b in pairs:
+            if bin(sims[a] ^ sims[b]).count("1") <= max_hamming:
+                out.add((a, b))
+    return pd.DataFrame(sorted(out), columns=["doc_a", "doc_b"]).astype("int64")
+
+
+def dedup_embedding_cosine_expected(
+    sf_dir: str, threshold: float = 0.45, n_tables: int = 4
+) -> pd.DataFrame:
+    """(vec_a, vec_b, max(cos)) via the same seeded random-hyperplane LSH
+    buckets, exact in-bucket cosine, cap policy and per-pair max."""
+    ids, vecs = _read_embeddings(sf_dir)
+    p = _lsh_planes_for(len(ids))
+    planes = (
+        np.random.RandomState(7)
+        .standard_normal((vecs.shape[1], n_tables * p))
+        .astype(np.float32)
+    )
+    bits = (vecs.astype(np.float32) @ planes) > 0
+    pow2 = np.uint64(1) << np.arange(p, dtype=np.uint64)
+    by_id = {int(i): vecs[k] for k, i in enumerate(ids)}
+    buckets: defaultdict[int, list[int]] = defaultdict(list)
+    for k, vid in enumerate(ids):
+        for t in range(n_tables):
+            seg = bits[k, t * p : (t + 1) * p].astype(np.uint64)
+            buckets[int(seg @ pow2) | (t << 32)].append(int(vid))
+    best: dict[tuple[int, int], float] = {}
+    for bucket_ids in buckets.values():
+        bucket_ids = sorted(set(bucket_ids))
+        k = len(bucket_ids)
+        if k < 2:
+            continue
+        v = np.stack([by_id[i] for i in bucket_ids])
+        norms = np.linalg.norm(v, axis=1) + 1e-30
+        if k > BUCKET_PAIR_CAP:
+            cos = np.einsum("ij,ij->i", v[:-1], v[1:]) / (norms[:-1] * norms[1:])
+            pairs = zip(bucket_ids[:-1], bucket_ids[1:], np.round(cos, 4))
+        else:
+            sims = (v @ v.T) / np.outer(norms, norms)
+            iu = np.triu_indices(k, k=1)
+            pairs = zip(
+                (bucket_ids[i] for i in iu[0]),
+                (bucket_ids[j] for j in iu[1]),
+                np.round(sims[iu], 4),
+            )
+        for a, b, c in pairs:
+            if c >= threshold:
+                key = (a, b)
+                if c > best.get(key, -2.0):
+                    best[key] = float(c)
+    rows = [(a, b, c) for (a, b), c in sorted(best.items())]
+    df = pd.DataFrame(rows, columns=["vec_a", "vec_b", "max(cos)"])
+    return df.astype({"vec_a": "int64", "vec_b": "int64", "max(cos)": "float64"})
+
+
+def ann_topk_ivf_expected(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_lists: int = 32,
+    n_probe: int = 12,
+) -> pd.DataFrame:
+    """(query_id, vec_id) IVF top-k membership: same seeded coarse
+    quantizer, one full-corpus Lloyd step (single-pass accumulation — the
+    pipeline's 1e-6 centroid rounding makes the two orders agree), same
+    probe-list selection and (cos desc, vec_id asc) tie-break."""
+    ids, vecs = _read_embeddings(sf_dir)
+    seeds = vecs[:n_lists].copy()
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True) + 1e-30
+    vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+    assign = np.argmax(vn @ seeds.T, axis=1)
+    sums = np.zeros_like(seeds)
+    np.add.at(sums, assign, vn)
+    counts = np.bincount(assign, minlength=n_lists).astype(np.int64)
+    refined = np.where(
+        counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], seeds
+    )
+    refined = np.round(refined, 6)
+    refined /= np.linalg.norm(refined, axis=1, keepdims=True) + 1e-30
+
+    q_ids = ids[:n_queries]
+    qn = vn[:n_queries]
+    probe = np.argsort(-(qn @ refined.T), axis=1)[:, :n_probe]
+    assign2 = np.argmax(vn @ refined.T, axis=1)
+    sims = qn @ vn.T
+    rows = []
+    for qi, q_id in enumerate(q_ids):
+        in_probe = np.flatnonzero(np.isin(assign2, probe[qi]))
+        order = sorted(in_probe, key=lambda j: (-sims[qi, j], ids[j]))
+        rows.extend((int(q_id), int(ids[j])) for j in order[:k])
+    return pd.DataFrame(rows, columns=["query_id", "vec_id"]).astype("int64")
