@@ -176,7 +176,9 @@ def _synth_docs_ds(sf_dir: str):
     import ray
 
     n = _SF_DOCS.get(_sf_from_dir(sf_dir), 1200)
-    return ray.data.read_parquet(_ensure_docs_dump(n)).repartition(8)
+    from osm_wikidata_ray.util import read_parquet_clean
+
+    return read_parquet_clean(_ensure_docs_dump(n)).repartition(8)
 
 
 _linkage_cache: dict[tuple[str, bool], Any] = {}

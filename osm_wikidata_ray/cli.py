@@ -82,7 +82,9 @@ def cmd_verify(args: argparse.Namespace) -> None:
         r["doc_id"]: r["span_checksum"]
         for r in verify_spans(read_docs(args.input)).iter_rows()
     }
-    cands = ray.data.read_parquet(f"{args.output}/candidates")
+    from .util import read_parquet_clean
+
+    cands = read_parquet_clean(f"{args.output}/candidates")
     bad = 0
     for r in cands.select_columns(
         ["wd_doc_id", "wd_checksum", "osm_doc_id", "osm_checksum"]

@@ -27,7 +27,7 @@ from typing import Any
 import ray
 
 from ..stages import blocking, clustering, parse, scoring
-from ..util import default_partitions
+from ..util import default_partitions, read_parquet_clean
 from ..state.lineage import Checkpoints
 
 
@@ -48,7 +48,7 @@ def read_docs(path: str, **kwargs: Any) -> "ray.data.Dataset":
             return ray.data.read_lance(path, **kwargs)
         except (ImportError, AttributeError) as e:  # lance not installed here
             raise ImportError("pylance is not available in this environment") from e
-    return ray.data.read_parquet(path, **kwargs)
+    return read_parquet_clean(path, **kwargs)
 
 
 def run_linkage(

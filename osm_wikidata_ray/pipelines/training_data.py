@@ -26,7 +26,12 @@ import pyarrow.compute as pc
 
 import ray
 
-from ..util import default_partitions, list_column_to_matrix, table_from_pandas
+from ..util import (
+    default_partitions,
+    list_column_to_matrix,
+    read_parquet_clean,
+    table_from_pandas,
+)
 
 PUNCT_RE = "[^a-zA-Z0-9 ]"  # shared with the SQL oracle — keep in sync
 _STOPWORDS = (
@@ -36,7 +41,7 @@ _STOPWORDS = (
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # --- text analysis ---
@@ -1144,8 +1149,11 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(derive, batch_format="pyarrow")
-    agg = ds.groupby(["l_returnflag", "l_linestatus"], num_partitions=8).aggregate(
-        *_sum_cols(["l_quantity", "l_extendedprice", "disc_price"])
+    # key cardinality is bounded (3 flags × 2 statuses) — combiner tree,
+    # no shuffle (see _bounded_group_sum).
+    agg = _bounded_group_sum(
+        ds, ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "disc_price"],
     )
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -1153,9 +1161,9 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "sum_qty": pc.round(batch.column("sum(l_quantity)"), 2),
-                "sum_base_price": pc.round(batch.column("sum(l_extendedprice)"), 2),
-                "sum_disc_price": pc.round(batch.column("sum(disc_price)"), 2),
+                "sum_qty": pc.round(batch.column("l_quantity"), 2),
+                "sum_base_price": pc.round(batch.column("l_extendedprice"), 2),
+                "sum_disc_price": pc.round(batch.column("disc_price"), 2),
             }
         )
 
@@ -1166,6 +1174,27 @@ def _sum_cols(cols: list[str]):
     from ray.data.aggregate import Sum
 
     return [Sum(c) for c in cols]
+
+
+def _bounded_group_sum(ds: "ray.data.Dataset", keys: list[str], cols: list[str]) -> "ray.data.Dataset":
+    """Groupby-sum for BOUNDED key cardinality without an all-to-all
+    shuffle: per-block partial sums (pandas groupby inside map_batches),
+    merged into one block, combined once.  This is the combiner-tree
+    pattern — with B input blocks the exchange carries at most
+    cardinality×B rows into a single final task, so it holds at any input
+    scale when the key space is small (pricing flags, event types).  It
+    also sidesteps Ray 2.49's shuffle aggregate emitting schema-less empty
+    blocks for dataless partitions (the executor's "different schema"
+    warning)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)[cols].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(partial, batch_format="pandas")
+    )
 
 
 def top_customers(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
@@ -1229,15 +1258,15 @@ def top_customers(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
 def events_by_type(sf_dir: str) -> "ray.data.Dataset":
     """Event-stream aggregate: count + value sum per event type."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    agg = ds.groupby("event_type", num_partitions=8).aggregate(
-        *(_sum_cols(["value"]))
-    )
+    # event_type cardinality is tiny (~5) — combiner tree, no shuffle
+    # (see _bounded_group_sum).
+    agg = _bounded_group_sum(ds, ["event_type"], ["value"])
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "sum_value": pc.round(batch.column("sum(value)"), 2),
+                "sum_value": pc.round(batch.column("value"), 2),
             }
         )
 

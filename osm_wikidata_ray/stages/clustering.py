@@ -132,10 +132,14 @@ def _pairs_to_adjacency(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     return pairs.map_batches(to_adj, batch_format="pyarrow")
 
 
-def _propagate(group: pd.DataFrame) -> pd.DataFrame:
+_LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+
+def _propagate(group: pd.DataFrame) -> pa.Table:
     """One node's group = its label rows (nbr == "") + adjacency rows.
 
-    Emits the node's min label to itself and every neighbor."""
+    Emits the node's min label to itself and every neighbor.  Arrow out
+    (metadata-free): the labels re-enter the per-round groupby shuffle."""
     labels = group.loc[group["nbr"] == "", "label"]
     if labels.empty:  # node with edges but no label yet (first round)
         label = group["node"].iloc[0]
@@ -143,7 +147,11 @@ def _propagate(group: pd.DataFrame) -> pd.DataFrame:
         label = labels.min()
     nbrs = group.loc[group["nbr"] != "", "nbr"]
     nodes = [group["node"].iloc[0], *nbrs.tolist()]
-    return pd.DataFrame({"node": nodes, "label": [label] * len(nodes)})
+    return pa.table(
+        {"node": pa.array(nodes, pa.string()),
+         "label": pa.array([label] * len(nodes), pa.string())},
+        schema=_LABEL_SCHEMA,
+    )
 
 
 def _label_checksum(labels: "ray.data.Dataset") -> int:

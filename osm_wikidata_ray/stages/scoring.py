@@ -329,7 +329,12 @@ def scorer_task(
     keep_rejects: bool = False,
     want_isa: frozenset[str] | None = None,
 ) -> pd.DataFrame:
-    """Task-form scorer with a per-worker-process cached ScorerReducer."""
+    """Task-form scorer with a per-worker-process cached ScorerReducer.
+
+    Returns a metadata-free Arrow table (not the reducer's pandas frame):
+    candidate blocks feed further shuffles (clustering, caps, facets), and
+    Ray's pandas→arrow block conversion would re-attach the unhashable
+    pandas schema metadata ("Failed to hash the schemas" in every reduce)."""
     key = (tuple(sorted((ruleset_kwargs or {}).items())), keep_rejects, want_isa)
     scorer = _scorer_cache.get(key)
     if scorer is None:
@@ -338,7 +343,7 @@ def scorer_task(
             ScorerReducer(ruleset_kwargs, keep_rejects=keep_rejects,
                           want_isa=want_isa),
         )
-    return scorer(bucket)
+    return table_from_pandas(scorer(bucket), _CANDIDATES_SCHEMA)
 
 
 def score_attached_pairs(
@@ -384,3 +389,17 @@ def _empty_candidates() -> pd.DataFrame:
         "osm_doc_id": "object", "osm_checksum": "object",
     }
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+
+
+_CANDIDATES_SCHEMA = pa.schema(
+    [
+        ("qid", pa.string()), ("osm_type", pa.string()), ("osm_id", pa.int64()),
+        ("dist", pa.float64()), ("identifier_match", pa.bool_()),
+        ("address_match", pa.bool_()), ("name_match", pa.string()),
+        ("matching_tags", pa.string()), ("osm_langs", pa.string()),
+        ("chosen", pa.bool_()), ("note", pa.string()),
+        ("already_tagged", pa.bool_()),
+        ("wd_doc_id", pa.string()), ("wd_checksum", pa.string()),
+        ("osm_doc_id", pa.string()), ("osm_checksum", pa.string()),
+    ]
+)

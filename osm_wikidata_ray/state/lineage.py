@@ -20,6 +20,8 @@ import pyarrow.parquet as pq
 
 import ray
 
+from ..util import read_parquet_clean
+
 MANIFEST = "MANIFEST.json"
 
 
@@ -60,7 +62,7 @@ class Checkpoints:
             if manifest.get("complete"):
                 self._log({"stage": name, "event": "resume-skip", "ts": time.time(),
                            "rows": manifest["rows"]})
-                return ray.data.read_parquet(str(stage_dir))
+                return read_parquet_clean(str(stage_dir))
 
         t0 = time.time()
         ds = factory()
@@ -86,7 +88,7 @@ class Checkpoints:
         self._log({"stage": name, "event": "computed", "ts": time.time(),
                    "rows": total_rows, "wall_s": manifest["wall_s"],
                    "n_partitions": len(partitions)})
-        return ray.data.read_parquet(str(stage_dir))
+        return read_parquet_clean(str(stage_dir))
 
     def stage_state(self, name: str) -> dict[str, Any] | None:
         if not self.root:

@@ -8,6 +8,32 @@ import pyarrow as pa
 import ray
 
 
+def read_parquet_clean(
+    path: str, columns: "list[str] | None" = None, **kwargs
+) -> "ray.data.Dataset":
+    """ray.data.read_parquet with the pandas schema metadata stripped at the
+    source.  Driver-written parquet carries a ``pandas`` metadata dict that
+    Ray's block-schema hashing cannot hash ("Failed to hash the schemas:
+    unhashable type 'dict'"), which also breaks schema unification for empty
+    shuffle partitions.  Passing an explicit metadata-free schema is free
+    (no extra stage) and makes every downstream block schema hashable."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            return ray.data.read_parquet(path, columns=columns, **kwargs)
+        probe = files[0]
+    schema = pq.read_schema(probe).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=schema, columns=columns, **kwargs)
+
+
 def default_partitions(lo: int = 8, hi: int = 64) -> int:
     """Shuffle partition count sized to the cluster (groupby default
     over-partitions small clusters; see bench notes)."""

@@ -42,10 +42,11 @@ def test_all_oracles_match(ray_session, duck):
 
     failures = []
     for name, sql in oracles.items():
-        # linkage oracles read the deterministic synth-corpus dump written
-        # for the driver's sf0.01 comparison — run those queries at sf0.01
-        # so both sides see the same corpus size
-        sf = "/root/testdata/sf0.01" if "graft_synth_docs" in sql else SF
+        # dump-backed oracles (synth-corpus docs, serial-oracle linkage
+        # tables, seeded-LSH expected outputs) are all written for the
+        # driver's sf0.01 comparison — run those queries at sf0.01 so both
+        # sides see the same corpus size
+        sf = "/root/testdata/sf0.01" if "/tmp/graft_" in sql else SF
         res = queries[name](sf)
         df = _normalize(res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res))
         odf = _normalize(duck.sql(sql).df())
