@@ -380,7 +380,7 @@ def oracle_sql() -> dict[str, str]:
         name: _ensure_td_oracle_dump(name)
         for name in (
             "dedup_minhash", "dedup_simhash", "dedup_minhash_clusters",
-            "dedup_embedding_cosine", "ann_topk_ivf",
+            "dedup_embedding_cosine", "ann_topk_ivf", "doc_fingerprint",
         )
     }
     return {
@@ -505,14 +505,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
             ORDER BY doc_id
         """,
-        "doc_fingerprint": """
-            SELECT doc_id,
-                   md5(list_aggregate(
-                     list_sort(list_transform(
-                       range(0, greatest(length(text) - 8, 1), 4),
-                       i -> md5(substr(text, i + 1, 8))))[1:4],
-                     'string_agg', '|')) AS fingerprint
-            FROM documents ORDER BY doc_id
+        "doc_fingerprint": f"""
+            SELECT doc_id, fingerprint
+            FROM read_parquet('{td_dumps["doc_fingerprint"]}')
+            ORDER BY doc_id
         """,
         "doc_stats": f"""
             SELECT doc_id,

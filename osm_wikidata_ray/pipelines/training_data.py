@@ -14,7 +14,6 @@ n_chars), embeddings(vec_id, embedding list<float>, label).
 
 from __future__ import annotations
 
-import hashlib
 import re
 import zlib
 from typing import Any
@@ -188,31 +187,74 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# doc_fingerprint hash spec (shared with sources/td_oracle.py): a window's
+# 8 UTF-8 bytes (zero-padded past the doc end) are read as one
+# little-endian uint64 and mixed murmur-style; the fingerprint folds the
+# `keep` smallest window hashes (ascending) with multiply-xor.  All
+# arithmetic is mod 2^64.
+_FP_M1 = 0x9E3779B97F4A7C15
+_FP_M2 = 0xC2B2AE3D27D4EB4F
+_FP_M3 = 0xFF51AFD7ED558CCD
+
+
+def _fp_mix(words: np.ndarray) -> np.ndarray:
+    h = words * np.uint64(_FP_M1)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(_FP_M2)
+    h ^= h >> np.uint64(29)
+    return h
+
+
 def doc_fingerprint(
     sf_dir: str, window: int = 8, stride: int = 4, keep: int = 4
 ) -> "ray.data.Dataset":
-    """Winnowing-style document fingerprints: md5 every `window`-char
-    substring at `stride`, keep the `keep` smallest digests, fingerprint =
-    md5 of their join.  md5 keeps the function bit-reproducible in the
-    DuckDB oracle (crc32 has no SQL equivalent)."""
+    """Winnowing-style document fingerprints, fully vectorized: every
+    `window`-byte substring at `stride` is one unaligned little-endian
+    uint64 load mixed murmur-style, the `keep` smallest survive, and the
+    fingerprint is their multiply-xor fold — one numpy pass per batch
+    straight over the Arrow string buffer, no per-doc Python (the r2 md5
+    loop was the slowest per-byte kernel in the file).  The mod-2^64
+    arithmetic has no DuckDB form, so the driver oracle reads a serial
+    expected-output dump (sources/td_oracle.py:doc_fingerprint_expected)."""
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.int64())])
 
     def fp(batch: pa.Table) -> pa.Table:
-        doc_ids, fps = [], []
-        md5 = hashlib.md5
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            t = text or ""
-            hashes = [
-                md5(t[i : i + window].encode()).hexdigest()
-                for i in range(0, max(len(t) - window, 1), stride)
-            ]
-            hashes.sort()
-            doc_ids.append(doc_id)
-            fps.append(md5("|".join(hashes[:keep]).encode()).hexdigest())
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.cast(pa.large_binary())
+        n = len(arr)
+        if n == 0:
+            return out_schema.empty_table()
+        off0 = arr.offset
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[off0 : off0 + n + 1]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offsets)
+        n_win = -(-np.maximum(lens - window, 1) // stride)  # ceil-div
+        total = int(n_win.sum())
+        doc_idx = np.repeat(np.arange(n), n_win)
+        first = np.zeros(n, dtype=np.int64)
+        first[1:] = np.cumsum(n_win)[:-1]
+        within = (np.arange(total) - np.repeat(first, n_win)) * stride
+        starts = offsets[:-1][doc_idx] + within
+        ends = offsets[1:][doc_idx]
+        idx = starts[:, None] + np.arange(window)
+        padded = np.concatenate([data, np.zeros(window, np.uint8)])
+        wbytes = padded[np.minimum(idx, len(padded) - 1)] * (idx < ends[:, None])
+        shifts = (np.arange(window, dtype=np.uint64) * np.uint64(8))
+        words = (wbytes.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        h = _fp_mix(words)
+        # per-doc ascending hashes; doc groups stay contiguous under lexsort
+        h_sorted = h[np.lexsort((h, doc_idx))]
+        f = np.zeros(n, dtype=np.uint64)
+        for j in range(keep):
+            has = n_win > j
+            f[has] = (f[has] * np.uint64(_FP_M3)) ^ h_sorted[first[has] + j]
         return pa.table(
-            {"doc_id": doc_ids, "fingerprint": pa.array(fps, pa.string())},
-            schema=pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.string())]),
+            {"doc_id": batch.column("doc_id"),
+             "fingerprint": pa.array(f.view(np.int64))},
+            schema=out_schema,
         )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(

@@ -277,3 +277,37 @@ def ann_topk_ivf_expected(
         order = sorted(in_probe, key=lambda j: (-sims[qi, j], ids[j]))
         rows.extend((int(q_id), int(ids[j])) for j in order[:k])
     return pd.DataFrame(rows, columns=["query_id", "vec_id"]).astype("int64")
+
+
+def doc_fingerprint_expected(
+    sf_dir: str, window: int = 8, stride: int = 4, keep: int = 4
+) -> pd.DataFrame:
+    """Serial winnowing fingerprints: plain per-doc/per-window int loops
+    implementing the shared hash spec (_FP_M1/M2/M3 in training_data.py) —
+    windows are `window` UTF-8 bytes zero-padded past the doc end, read
+    little-endian, murmur-mixed; fingerprint = multiply-xor fold of the
+    `keep` smallest hashes ascending."""
+    from ..pipelines.training_data import _FP_M1, _FP_M2, _FP_M3
+
+    def mix(w: int) -> int:
+        h = (w * _FP_M1) & _MASK64
+        h ^= h >> 33
+        h = (h * _FP_M2) & _MASK64
+        h ^= h >> 29
+        return h
+
+    ids, texts = _read_docs(sf_dir)
+    rows = []
+    for doc_id, text in zip(ids, texts):
+        b = (text or "").encode("utf-8")
+        hashes = []
+        for i in range(0, max(len(b) - window, 1), stride):
+            win = b[i : i + window].ljust(window, b"\x00")
+            hashes.append(mix(int.from_bytes(win, "little")))
+        hashes.sort()
+        f = 0
+        for h in hashes[:keep]:
+            f = ((f * _FP_M3) & _MASK64) ^ h
+        signed = f - (1 << 64) if f >= (1 << 63) else f  # int64 bit-cast
+        rows.append((int(doc_id), signed))
+    return pd.DataFrame(rows, columns=["doc_id", "fingerprint"]).astype("int64")
