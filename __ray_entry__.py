@@ -253,11 +253,9 @@ def _linkage_osm_lang_counts(sf_dir: str):
 
 
 def _linkage_isa_facets(sf_dir: str):
-    from osm_wikidata_ray.stages.parse import parse_docs
     from osm_wikidata_ray.pipelines.linkage import isa_facet_counts
 
-    records = _synth_docs_ds(sf_dir).map_batches(parse_docs, batch_format="pyarrow")
-    return isa_facet_counts(records).sort(["isa"])
+    return isa_facet_counts(_synth_docs_ds(sf_dir)).sort(["isa"])
 
 
 def _media_features(sf_dir: str):

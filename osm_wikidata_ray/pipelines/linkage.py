@@ -193,34 +193,51 @@ def language_counts(
     schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
 
     def count_langs(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+        # vectorized over the flattened span structs: one list_flatten +
+        # split + two pandas groupbys per batch, no per-row Python (this
+        # runs over every doc)
+        import numpy as np
+        import pyarrow.compute as pc
 
-        counts: Counter[str] = Counter()
-        n_items = 0
-        for spans in batch.column("spans").to_pylist():
-            side = None
-            label_langs: set[str] = set()
-            for s in spans:
-                kind = s["kind"]
-                if kind == "side":
-                    side = s["text"]
-                elif kind == "name":
-                    source, lang, _value = s["text"].split("\t", 2)
-                    if source == "label" and lang:
-                        label_langs.add(lang)
-            if side != "wd":
-                continue
-            n_items += 1
-            if not count_sv and label_langs == {"ceb", "sv"}:
-                continue  # place.py:1085-1088
-            for lang in label_langs:
-                if "-" in lang or lang == "ceb":
-                    continue  # place.py:1090-1092
-                counts[lang] += 1
-        counts["\x00items"] = n_items  # item-count sentinel, same shuffle
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy()
+        flat = spans.flatten()
+        kind = flat.field("kind")
+        text = flat.field("text")
+
+        side_mask = pc.equal(kind, "side").to_numpy(zero_copy_only=False)
+        wd_rows = np.zeros(len(batch), dtype=bool)
+        wd_rows[parent[side_mask]] = (
+            pc.equal(text, "wd").to_numpy(zero_copy_only=False)[side_mask]
+        )
+        n_items = int(wd_rows.sum())
+
+        name_mask = pc.equal(kind, "name").to_numpy(zero_copy_only=False)
+        nm_text = text.filter(pa.array(name_mask))
+        parts = pc.split_pattern(nm_text, "\t", max_splits=2)
+        df = pd.DataFrame(
+            {
+                "row": parent[name_mask],
+                "source": pc.list_element(parts, 0).to_numpy(zero_copy_only=False),
+                "lang": pc.list_element(parts, 1).to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df[(df["source"] == "label") & (df["lang"] != "") & wd_rows[df["row"]]]
+        df = df.drop_duplicates(["row", "lang"])  # label_langs is a SET
+        if not count_sv:  # skip items whose lang set == {ceb, sv}, place.py:1085-1088
+            uniq = df.groupby("row")["lang"].nunique()
+            cebsv = (
+                df[df["lang"].isin(["ceb", "sv"])].groupby("row")["lang"].nunique()
+            )
+            skip = uniq.index[(uniq == 2) & (cebsv.reindex(uniq.index, fill_value=0) == 2)]
+            df = df[~df["row"].isin(skip)]
+        df = df[~df["lang"].str.contains("-") & (df["lang"] != "ceb")]  # place.py:1090-1092
+        counts = df.groupby("lang").size()
         return pa.table(
-            {"lang": list(counts.keys()),
-             "n": pa.array(list(counts.values()), pa.int64())},
+            {"lang": [*counts.index, "\x00items"],  # item-count sentinel
+             "n": pa.array([*counts.to_numpy(), n_items], pa.int64())},
             schema=schema,
         )
 
@@ -248,25 +265,23 @@ def osm_language_counts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
     every stored candidate (reference languages_osm place.py:1061-1076,
     ItemCandidate.languages model.py:1243-1244).  The scorer already emits
     the languages as a JSON column — no payload re-decode needed."""
-    import json as _json
-
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     schema = pa.schema([("lang", pa.string()), ("n", pa.int64())])
 
     def count_langs(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        counts: Counter[str] = Counter()
-        notes = batch.column("note").to_pylist()
-        for langs_json, note in zip(batch.column("osm_langs").to_pylist(), notes):
-            if note.startswith("reject: "):
-                continue
-            for lang in _json.loads(langs_json):
-                counts[lang] += 1
+        # osm_langs is json.dumps of a sorted list of OSM name:xx suffixes
+        # (alnum + dashes), so a strip + split parses it vectorized — no
+        # per-row json.loads
+        keep = pc.invert(pc.starts_with(batch.column("note"), "reject: "))
+        langs_json = pc.filter(batch.column("osm_langs"), keep)
+        stripped = pc.replace_substring_regex(langs_json, r'[\[\]" ]', "")
+        flat = pc.list_flatten(pc.split_pattern(stripped, ","))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
         return pa.table(
-            {"lang": list(counts.keys()),
-             "n": pa.array(list(counts.values()), pa.int64())},
+            {"lang": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())},
             schema=schema,
         )
 
@@ -277,35 +292,46 @@ def osm_language_counts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-def isa_facet_counts(records: "ray.data.Dataset") -> "ray.data.Dataset":
-    """P31 class facet counts over parsed items (reference isa_facets.py:4-44)
-    — flat_map the isa list, partial counts, tiny groupby."""
-    import json as _json
-
+def isa_facet_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """P31 class facet counts (reference isa_facets.py:4-44), computed
+    straight from the raw docs' claim spans ("P31\\t<qid>") — vectorized
+    flatten + prefix filter per batch, partial counts, tiny groupby.  The
+    r2 version decompressed every record payload in per-row Python; the
+    spans carry the same P31 list (functions/spans.py:255-256), so no
+    payload decode is needed at all."""
+    import numpy as np
     import pyarrow as pa
-
-    import zlib as _zlib
+    import pyarrow.compute as pc
 
     schema = pa.schema([("isa", pa.string()), ("n", pa.int64())])
 
     def explode_isa(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy()
+        flat = spans.flatten()
+        kind = flat.field("kind")
+        text = flat.field("text")
 
-        counts: Counter[str] = Counter()
-        mask = batch.column("side").to_pylist()
-        for side, payload in zip(mask, batch.column("payload").to_pylist()):
-            if side != "wd":
-                continue
-            for isa in _json.loads(_zlib.decompress(payload)).get("isa") or []:
-                counts[isa] += 1
+        side_mask = pc.equal(kind, "side").to_numpy(zero_copy_only=False)
+        wd_rows = np.zeros(len(batch), dtype=bool)
+        wd_rows[parent[side_mask]] = (
+            pc.equal(text, "wd").to_numpy(zero_copy_only=False)[side_mask]
+        )
+        claim_mask = pc.and_(
+            pc.equal(kind, "claim"), pc.starts_with(text, "P31\t")
+        ).to_numpy(zero_copy_only=False)
+        keep = claim_mask & wd_rows[parent]
+        isa = pc.utf8_slice_codeunits(text.filter(pa.array(keep)), 4)
+        vc = pc.value_counts(isa)
         return pa.table(
-            {"isa": list(counts.keys()),
-             "n": pa.array(list(counts.values()), pa.int64())},
+            {"isa": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())},
             schema=schema,
         )
 
     return (
-        records.map_batches(explode_isa, batch_format="pyarrow")
+        docs.map_batches(explode_isa, batch_format="pyarrow")
         .groupby("isa", num_partitions=8)
         .sum("n")
     )

@@ -1259,19 +1259,19 @@ def top_customers(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
 
     class Enrich:
         def __init__(self) -> None:
-            self.cust = ray.get(cust_ref)
+            cust = ray.get(cust_ref)
+            # two hash-backed Series for vectorized .map (dict lookups per
+            # row in Python were this stage's only row loop)
+            keys = np.fromiter(cust.keys(), dtype=np.int64, count=len(cust))
+            self.names = pd.Series([v[0] for v in cust.values()], index=keys)
+            self.nations = pd.Series([v[1] for v in cust.values()], index=keys)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            names, nations = [], []
-            for k in keys:
-                name, nat = self.cust.get(k, ("", ""))
-                names.append(name)
-                nations.append(nat)
+            keys = batch.column("o_custkey").to_numpy()
             return pa.table(
                 {
-                    "c_name": pa.array(names),
-                    "n_name": pa.array(nations),
+                    "c_name": pa.array(self.names.reindex(keys, fill_value="")),
+                    "n_name": pa.array(self.nations.reindex(keys, fill_value="")),
                     "o_totalprice": batch.column("o_totalprice"),
                 }
             )

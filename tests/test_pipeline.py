@@ -180,7 +180,6 @@ def test_metrics_and_export(ray_session, linkage_result, tmp_path):
 
 def test_isa_facets_and_lang_counts(ray_session, corpus):
     from osm_wikidata_ray.pipelines.linkage import isa_facet_counts, language_counts
-    from osm_wikidata_ray.stages.parse import parse_docs
 
     docs, _ = corpus
     ds = ray_session.data.from_items(docs).repartition(4)
@@ -189,8 +188,7 @@ def test_isa_facets_and_lang_counts(ray_session, corpus):
     # reference semantics: sub-10% tail languages are cut (the de/sv labels
     # planted by fam_exact/fam_case are ~4% of items), en always survives
     assert set(langs["lang"]) == {"en"}, langs
-    records = ds.map_batches(parse_docs, batch_format="pyarrow")
-    facets = isa_facet_counts(records).to_pandas()
+    facets = isa_facet_counts(ds).to_pandas()
     assert "Q55488" in set(facets["isa"])  # station scenarios plant P31
 
 
