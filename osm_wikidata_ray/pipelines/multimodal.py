@@ -6,11 +6,13 @@ adds the actor-pool stages a training-data pipeline needs on top: decode,
 feature-extract, resize, frame-sample.
 
 The decode kernel is REAL for the netpbm formats (binary PPM/PGM — parsed
-in pure Python/numpy, no codec libraries needed): magic sniff → header
-parse → pixel matrix → block-mean resize → feature vector.  JPEG/PNG/audio
-need codec libraries that are not in this container, so those magics raise
-NotImplementedError with a clear message (``fake=True`` substitutes a
-deterministic pseudo-decoder for testing that path's plumbing).
+in pure Python/numpy, no codec libraries needed) AND for baseline PNG
+(stdlib zlib inflate + scanline unfilter + numpy — see decode_png): magic
+sniff → header parse → pixel matrix → block-mean resize → feature vector.
+JPEG/audio need codec libraries that are not in this container, so those
+magics raise NotImplementedError with a clear message (``fake=True``
+substitutes a deterministic pseudo-decoder for testing that path's
+plumbing).
 """
 
 from __future__ import annotations
@@ -72,7 +74,11 @@ def decode_netpbm(data: bytes) -> np.ndarray:
 
 
 def block_mean_resize(gray: np.ndarray, size: int) -> np.ndarray:
-    """(h, w) float → (size, size) via block averaging (real resize kernel)."""
+    """(h, w) float → (size, size) via block averaging (real resize kernel).
+
+    Blocks that would be empty (image dimension < size) are clamped to the
+    nearest pixel row/col, so sub-`size` images replicate neighbors instead
+    of emitting zero-valued features (ADVICE r2)."""
     h, w = gray.shape
     ys = (np.arange(size + 1) * h // size).clip(1, h)
     xs = (np.arange(size + 1) * w // size).clip(1, w)
@@ -83,13 +89,128 @@ def block_mean_resize(gray: np.ndarray, size: int) -> np.ndarray:
     x0 = np.concatenate([[0], xs[1:-1]])
     for r in range(size):
         a, b = y0[r], ys[r + 1]
+        if b <= a:  # empty block: clamp to nearest pixel row
+            b = min(a + 1, h)
+            a = b - 1
         for c in range(size):
             l, rr = x0[c], xs[c + 1]
-            area = max((b - a) * (rr - l), 1)
+            if rr <= l:  # empty block: clamp to nearest pixel col
+                rr = min(l + 1, w)
+                l = rr - 1
+            area = (b - a) * (rr - l)
             out[r, c] = (
                 integral[b, rr] - integral[a, rr] - integral[b, l] + integral[a, l]
             ) / area
     return out
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# IHDR color type → channel count (8-bit samples)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w), (h, w, 3) or (h, w, 4) → PNG (filter 0 scanlines)."""
+    import struct
+    import zlib
+
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape[:2]
+    channels = 1 if pixels.ndim == 2 else pixels.shape[2]
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → uint8 pixel matrix — a REAL decode with no codec library:
+    stdlib zlib inflate + per-scanline unfilter (all five filter types,
+    Sub/Up vectorized, Average/Paeth per-pixel) + numpy reshape.  Supports
+    8-bit non-interlaced grayscale / RGB / RGBA / palette / gray+alpha
+    (PNG spec §4.5.2 baseline)."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte: np.ndarray | None = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = _PNG_CHANNELS[ctype]
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    raw = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.uint8)
+    bpp = channels
+    for r in range(h):
+        f = int(filters[r])
+        line = raw[r, 1:].copy()
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-channel prefix sum (mod-256 adds commute)
+            cur = line
+            for k in range(bpp):
+                cur[k::bpp] = np.cumsum(cur[k::bpp], dtype=np.uint32) & 0xFF
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            cur = line + prior
+        elif f == 3:  # Average: sequential in x
+            cur = line
+            for k in range(stride):
+                left = int(cur[k - bpp]) if k >= bpp else 0
+                cur[k] = (int(cur[k]) + ((left + int(prior[k])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth: sequential in x
+            cur = line
+            for k in range(stride):
+                a = int(cur[k - bpp]) if k >= bpp else 0
+                b = int(prior[k])
+                c = int(prior[k - bpp]) if k >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                cur[k] = (int(cur[k]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = cur
+        prior = out[r]
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[out.reshape(h, w)]
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
 
 
 def media_table_from_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -145,14 +266,22 @@ class MediaDecoder:
     def _decode(self, payload: bytes) -> np.ndarray:
         if payload[:2] in (b"P6", b"P5"):
             return decode_netpbm(payload)
+        if payload[:8] == _PNG_MAGIC:
+            img = decode_png(payload)
+            if img.ndim == 3 and img.shape[2] == 4:  # RGBA → RGB
+                img = img[:, :, :3]
+            elif img.ndim == 3 and img.shape[2] == 2:  # gray+alpha → gray
+                img = img[:, :, 0]
+            return img
         if self.fake:
             seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
             rng = np.random.RandomState(seed % (2**31))
             return rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
         raise NotImplementedError(
-            "only binary netpbm (PPM/PGM) decodes in this container; "
-            "JPEG/PNG need codec libraries — construct with fake=True to "
-            "exercise the plumbing with a deterministic stub decoder"
+            "only binary netpbm (PPM/PGM) and baseline PNG decode in this "
+            "container; JPEG/audio need codec libraries — construct with "
+            "fake=True to exercise the plumbing with a deterministic stub "
+            "decoder"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -309,13 +309,11 @@ def _batch_shingle_hashes(
     per_doc: list[np.ndarray] = [None] * n_docs  # type: ignore[list-item]
     if len(all_words):
         h = _hash_strings(all_words)
-        doc_idx = np.repeat(np.arange(n_docs), counts)
         if len(h) >= n:
-            # position-combined trigram hashes, windows crossing doc
-            # boundaries masked out
+            # position-combined trigram hashes; windows crossing doc
+            # boundaries are excluded by the per-doc offset slice below
+            # (seg stops n-1 short of each doc's word count)
             sh = (h[:-2] * _SH_C1) ^ (h[1:-1] * _SH_C2) ^ (h[2:] * _SH_C3)
-            valid = doc_idx[:-2] == doc_idx[2:]
-            sh_doc = doc_idx[:-2]
             starts = np.cumsum(counts) - counts
             for i in np.flatnonzero(counts >= n):
                 s = starts[i]
@@ -449,7 +447,17 @@ def _bucket_candidate_pairs(group: pd.DataFrame) -> pa.Table:
         if k < 2:
             continue
         if k > BUCKET_PAIR_CAP:
-            # ring pairing keeps the component connected at linear cost
+            # ring pairing keeps the component connected at linear cost.
+            # Pair-level output under-reports this component's pairs, so
+            # an exact all-pairs oracle (dedup_ngram_jaccard) only holds
+            # while no near-dup cluster exceeds the cap — flag loudly.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "band bucket of %d docs exceeds BUCKET_PAIR_CAP=%d; "
+                "ring-pairing (cluster connectivity preserved, pair-level "
+                "output incomplete for this component)", k, BUCKET_PAIR_CAP,
+            )
             outs.append(pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]}))
             continue
         iu = np.triu_indices(k, k=1)
@@ -677,7 +685,14 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8) -> "ray.data.Datase
     """Exact word-3-gram Jaccard over LSH candidate pairs — the two-stage
     filter-verify pattern (band-level LSH recall, exact precision).  Texts
     attach to the candidate pairs in one corpus pass; no worker ever loads
-    the full corpus (VERDICT r1 fix)."""
+    the full corpus (VERDICT r1 fix).
+
+    Exact-oracle contract (ADVICE r2): pair-level completeness holds while
+    every near-dup component fits BUCKET_PAIR_CAP; above the cap the band
+    buckets ring-pair (connectivity kept, pairs under-reported) and
+    _bucket_candidate_pairs logs a warning — at that scale the
+    cluster-level views (dedup_minhash_clusters) are the meaningful
+    output, not the pair list."""
     n_parts = default_partitions()
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     # band-level candidates go straight to the exact verify — the

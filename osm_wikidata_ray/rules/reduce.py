@@ -382,7 +382,13 @@ def score_item_candidates(
 
     # line-vs-polygon dedup (reference filter_candidates,
     # matcher.py:1222-1234): a geometry loaded into both the line and the
-    # polygon table keeps only its polygon row (same src_id)
+    # polygon table keeps only its polygon row (same src_id).
+    # NOTE (ADVICE r2): upstream marks filter_candidates "# unused?" and the
+    # live match path does not call it — this engine applies the filter
+    # deliberately (both-table rows are true duplicates of one OSM object);
+    # our serial oracle (sources/oracle.py) applies the same rule, so
+    # engine==oracle parity holds, but candidate sets can differ from an
+    # upstream runtime that kept both rows.
     poly_src = {
         c["src_id"] for c in candidates if c.get("planet_table") == "polygon"
     }

@@ -59,7 +59,15 @@ def wd_entity_key(qid: str) -> int:
     num = qid[1:]
     if num.isdigit():
         return int(num)
-    return (1 << 62) | (zlib.crc32(qid.encode()) << 16)
+    # non-numeric entity-id fallback: 61-bit siphash (pd.util.hash_array,
+    # fixed key) under the bit-62 marker — the r2 crc32<<16 form had only
+    # 32 bits of entropy, enough for birthday collisions between distinct
+    # ids at scale (ADVICE r2)
+    import numpy as np
+    import pandas as pd
+
+    h = int(pd.util.hash_array(np.array([qid], dtype=object))[0])
+    return (1 << 62) | (h & ((1 << 61) - 1))
 
 
 def osm_entity_key(osm_type: str, osm_id: int) -> int:

@@ -122,6 +122,95 @@ def test_media_features_stub(ray_session):
         assert all(len(f) == 8 for f in feats.feature)
 
 
+def test_png_decode_roundtrip_and_filters():
+    """decode_png is a real decoder: round-trips encoder output for every
+    supported color type and unfilters all five PNG filter types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from osm_wikidata_ray.pipelines.multimodal import (
+        _PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 9), (6, 4, 3), (3, 7, 4)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    # hand-build one scanline per filter type (forward-filter the raw rows
+    # exactly as a PNG encoder would) and check the unfilter inverts them
+    px = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, bpp = px.shape
+    stride = w * bpp
+    rows = px.reshape(h, stride).astype(np.int64)
+    prior = np.zeros(stride, np.int64)
+    raw = bytearray()
+    for r, f in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[r]
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        pleft = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prior
+        elif f == 3:
+            enc = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - pleft
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prior), np.abs(p - pleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prior, pleft)
+            )
+            enc = cur - pred
+        raw += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prior = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px)
+
+
+def test_png_media_decoder_and_small_image_resize():
+    """MediaDecoder decodes PNG payloads for real; block_mean_resize clamps
+    empty blocks for sub-target-size images instead of emitting zeros."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_wikidata_ray.pipelines.multimodal import (
+        MediaDecoder,
+        block_mean_resize,
+        encode_png,
+    )
+
+    px = np.random.RandomState(3).randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    out = MediaDecoder(fake=False)(
+        pa.table({"media_id": ["p"], "payload": [encode_png(px)]})
+    ).to_pandas()
+    assert out.width[0] == 8 and out.height[0] == 8
+    expect = block_mean_resize(px.astype(np.float64).mean(axis=2), 8).mean(axis=0)
+    assert np.allclose(out.feature[0], expect.astype(np.float32))
+
+    # 2×2 image into 8×8 blocks: all features finite and nonzero-biased
+    tiny = np.full((2, 2), 100.0)
+    resized = block_mean_resize(tiny, 8)
+    assert np.all(resized == 100.0)
+
+
 def test_dedup_minhash_clusters(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
