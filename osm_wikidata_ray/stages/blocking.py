@@ -113,7 +113,7 @@ def detect_hot_keys(
 
     counts = (
         exploded.map_batches(sample_and_precount, batch_format="pyarrow")
-        .groupby("block_key", num_partitions=32)
+        .groupby("block_key", num_partitions=8)  # sampled partials are tiny
         .sum("n")
         .map_batches(over_threshold, batch_format="pyarrow")
     )

@@ -54,7 +54,10 @@ def resolve_conflicts(
     shuffle.  (For a pathological input where the conflict set itself were
     huge, the count pass still bounds it to distinct multiply-claimed ids.)
     """
-    candidates = candidates.materialize()
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(candidates, MaterializedDataset):
+        candidates = candidates.materialize()  # two consumers below
     chosen = candidates.filter(expr="chosen == True")
 
     def to_uid(batch: pa.Table) -> pa.Table:
@@ -70,7 +73,7 @@ def resolve_conflicts(
 
     counts = (
         candidates.map_batches(to_uid, batch_format="pyarrow")
-        .groupby("osm_uid", num_partitions=16)
+        .groupby("osm_uid", num_partitions=8)
         .count()
         .map_batches(
             lambda b: b.filter(pc.greater(b.column("count()"), 1)),
@@ -78,32 +81,31 @@ def resolve_conflicts(
         )
     )
     conflicted = {r["osm_uid"] for r in counts.take_all()}
+    conflicted_np = np.array(sorted(conflicted), dtype=object)
 
     bad = bad_qids or set()
+    bad_np = np.array(sorted(bad), dtype=object)
 
     def gate(batch: pa.Table) -> pa.Table:
+        # vectorized precedence chain (matcher.py:1445-1447, 1473-1475):
+        # bad qid > 1:1 conflict > already tagged > accepted
         uid = pc.binary_join_element_wise(
             batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
-        ).to_pylist()
-        qids = batch.column("qid").to_pylist()
-        already = batch.column("already_tagged").to_pylist()
-        notes = batch.column("note").to_pylist()
-        accepted, out_notes = [], []
-        for q, u, a, note in zip(qids, uid, already, notes):
-            if q in bad:  # matcher.py:1445-1447
-                accepted.append(False)
-                out_notes.append("has bad match")
-            elif u in conflicted:
-                accepted.append(False)
-                out_notes.append("OSM candidate matches multiple Wikidata items")
-            elif a:
-                accepted.append(False)
-                out_notes.append("candidate already tagged")
-            else:
-                accepted.append(True)
-                out_notes.append(note)
+        ).to_numpy(zero_copy_only=False)
+        qids = batch.column("qid").to_numpy(zero_copy_only=False)
+        already = batch.column("already_tagged").to_numpy(zero_copy_only=False)
+        notes = batch.column("note").to_numpy(zero_copy_only=False).copy()
+        is_bad = np.isin(qids, bad_np) if len(bad_np) else np.zeros(len(qids), bool)
+        in_conflict = (
+            np.isin(uid, conflicted_np)
+            if len(conflicted_np) else np.zeros(len(uid), bool)
+        )
+        notes[~is_bad & in_conflict] = "OSM candidate matches multiple Wikidata items"
+        notes[~is_bad & ~in_conflict & already] = "candidate already tagged"
+        notes[is_bad] = "has bad match"
+        accepted = ~is_bad & ~in_conflict & ~already.astype(bool)
         batch = batch.set_column(
-            batch.schema.get_field_index("note"), "note", pa.array(out_notes)
+            batch.schema.get_field_index("note"), "note", pa.array(notes, pa.string())
         )
         return batch.append_column("accepted", pa.array(accepted, pa.bool_()))
 
