@@ -92,6 +92,12 @@ def run_linkage(
     if checkpoint_dir is None and not fuse_shuffles:
         exploded = exploded.materialize()
 
+    # within-polygon place names (§2.4 #38): when the flag is on, build the
+    # small place-polygon index once and broadcast it to the scorer tasks
+    within_ref = None
+    if (ruleset_kwargs or {}).get("hunt_for_more_place_names"):
+        within_ref = scoring.collect_place_polygon_index(records)
+
     hot = blocking.detect_hot_keys(exploded, hot_key_threshold)
     if hot:
         exploded = exploded.map_batches(
@@ -127,6 +133,7 @@ def run_linkage(
         return scoring.score_attached_pairs(
             attached, records, n_parts, scorer_concurrency, ruleset_kwargs,
             keep_rejects=keep_rejects, want_isa=want_isa,
+            within_ref=within_ref,
         )
 
     candidates = ckpt.run("candidates", build_candidates)

@@ -355,7 +355,17 @@ def score_item_candidates(
         if key in seen:
             continue
         seen.add(key)
-        verdict = evaluate_candidate(ctx, row["osm_type"], row["tags"], row["dist"])
+        # within-polygon place names ride on the row when the flag is on
+        # (#38; rules/within.py computes them, flag default off)
+        extra_pn = (
+            set(row["within_names"])
+            if ruleset.hunt_for_more_place_names and row.get("within_names")
+            else None
+        )
+        verdict = evaluate_candidate(
+            ctx, row["osm_type"], row["tags"], row["dist"],
+            extra_place_names=extra_pn,
+        )
         if "reject" in verdict:
             if rejects is not None:
                 rejects.append(

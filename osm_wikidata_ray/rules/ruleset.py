@@ -100,6 +100,7 @@ class RuleSet:
         country_iso: dict[str, list[str]] | None = None,
         extract_name_good_enough: bool = True,
         match_address_nodes: bool = False,
+        hunt_for_more_place_names: bool = False,
     ) -> None:
         self.type_rules = tag_rules.load_type_rules()
         self.extra_type_tags = tag_rules.load_extra_type_tags()
@@ -114,6 +115,10 @@ class RuleSet:
             self.country_iso.update(country_iso)
         self.extract_name_good_enough = extract_name_good_enough
         self.match_address_nodes = match_address_nodes
+        # within-polygon place names (§2.4 #38, rules/within.py) — the
+        # reference's HUNT_FOR_MORE_PLACE_NAMES config, default off
+        # (matcher.py:658)
+        self.hunt_for_more_place_names = hunt_for_more_place_names
 
         # embassy country-name → QID longest-first regex (embassy.py:894-913)
         embassy = json.load(open(DATA_DIR / "embassy_countries.json"))

@@ -284,7 +284,11 @@ class ItemContext:
 
 
 def evaluate_candidate(
-    ctx: ItemContext, osm_type: str, osm_tags: OsmTags, dist: float
+    ctx: ItemContext,
+    osm_type: str,
+    osm_tags: OsmTags,
+    dist: float,
+    extra_place_names: "set[str] | None" = None,
 ) -> dict[str, Any]:
     """Score one (item, OSM object) pair; the per-row body of
     find_item_matches (matcher.py:662-906).
@@ -331,11 +335,18 @@ def evaluate_candidate(
     if not address_match and check_for_address_in_extract(osm_tags, ctx.extract):
         address_match = True
 
+    # per-candidate within-polygon names augment the item's place names
+    # (#38, matcher.py:712,720 — `place_names | within`)
+    place_names = (
+        ctx.place_names | extra_place_names
+        if extra_place_names
+        else ctx.place_names
+    )
     name_match = name_rules.check_for_match(
         osm_tags,
         ctx.names,
         set(ctx.endings),
-        place_names=ctx.place_names,
+        place_names=place_names,
         trim_house=not ctx.is_hamlet,
     )
 

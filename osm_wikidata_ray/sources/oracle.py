@@ -87,6 +87,14 @@ def oracle_tables(
     per_item = candidate_rows_for_items(items, objs)
     items_by_qid = {i["qid"]: i for i in items}
 
+    if ruleset.hunt_for_more_place_names:  # §2.4 #38 (rules/within.py)
+        from ..rules.within import collect_place_polygons, within_place_names
+
+        polys = collect_place_polygons(objs)
+        for rows in per_item.values():
+            for row in rows:
+                row["within_names"] = within_place_names(row, polys)
+
     candidates: list[dict[str, Any]] = []
     chosen: dict[str, dict] = {}
     # the 1:1 gate counts every stored candidate occurrence across all

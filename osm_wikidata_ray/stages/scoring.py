@@ -46,6 +46,60 @@ CANDIDATE_COLUMNS = [
 _REC_COLUMNS = ["entity_key", "payload", "doc_id", "span_checksum"]
 
 
+def collect_place_polygon_index(records: "ray.data.Dataset") -> "ray.ObjectRef":
+    """Broadcastable within-polygon index for §2.4 #38 (rules/within.py;
+    reference get_within_names, matcher.py:582-599).
+
+    One streaming decode pass over the OSM records emits the place/tourism
+    polygon rows; the result is the reference's per-place polygon table —
+    villages, suburbs, parks — a tiny fraction of the corpus, so it is
+    collected once and broadcast via ``ray.put`` (each scorer worker reads
+    it from shared memory; no extra shuffle).  Only runs when the
+    ``hunt_for_more_place_names`` flag is on.
+    """
+    from ..rules.within import collect_place_polygons
+
+    def to_poly_rows(batch: pa.Table) -> pa.Table:
+        objs = [
+            json.loads(zlib.decompress(p))
+            for p in batch.column("payload").to_pylist()
+        ]
+        polys = collect_place_polygons(objs)
+        return pa.table(
+            {
+                "lat": pa.array([p["lat"] for p in polys], pa.float64()),
+                "lon": pa.array([p["lon"] for p in polys], pa.float64()),
+                "radius_m": pa.array([p["radius_m"] for p in polys], pa.float64()),
+                "osm_type": pa.array([p["osm_type"] for p in polys], pa.string()),
+                "osm_id": pa.array([p["osm_id"] for p in polys], pa.int64()),
+                "names": pa.array(
+                    [sorted(p["names"]) for p in polys], pa.list_(pa.string())
+                ),
+            }
+        )
+
+    rows = (
+        records.filter(expr="side == 'osm'")
+        .select_columns(["payload"])
+        .map_batches(to_poly_rows, batch_format="pyarrow")
+        .take_all()
+    )
+    polys = [
+        {
+            "lat": r["lat"],
+            "lon": r["lon"],
+            "radius_m": r["radius_m"],
+            "osm_type": r["osm_type"],
+            "osm_id": r["osm_id"],
+            "names": set(r["names"]),
+        }
+        for r in rows
+    ]
+    # deterministic order (take_all block order is stable but be explicit)
+    polys.sort(key=lambda p: (p["osm_type"], p["osm_id"]))
+    return ray.put(polys)
+
+
 def _pairs_for_osm_union(batch: pa.Table) -> pa.Table:
     n = len(batch)
     return pa.table(
@@ -176,10 +230,14 @@ class ScorerReducer:
         ruleset_kwargs: dict[str, Any] | None = None,
         keep_rejects: bool = False,
         want_isa: set[str] | frozenset[str] | None = None,
+        within_polygons: list[dict[str, Any]] | None = None,
     ) -> None:
         self.ruleset = RuleSet(**(ruleset_kwargs or {}))
         self.keep_rejects = keep_rejects
         self.want_isa = set(want_isa) if want_isa else None
+        # broadcast place-polygon index (§2.4 #38) — names computed once
+        # per unique OSM payload (the obj_cache) below
+        self.within_polygons = within_polygons
 
     def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
         recs = bucket.loc[bucket["kind"] == "r"].drop_duplicates("join_key")
@@ -253,9 +311,14 @@ class ScorerReducer:
             payload = payloads[k]
             obj = obj_cache.get(payload)
             if obj is None:
-                obj = obj_cache.setdefault(
-                    payload, json.loads(zlib.decompress(payload))
-                )
+                obj = json.loads(zlib.decompress(payload))
+                if self.within_polygons is not None:
+                    from ..rules.within import within_place_names
+
+                    obj["within_names"] = sorted(
+                        within_place_names(obj, self.within_polygons)
+                    )
+                obj = obj_cache.setdefault(payload, obj)
             obj = dict(obj)
             obj["dist"] = float(dists[k])
             osm_rows.append(obj)
@@ -328,6 +391,7 @@ def scorer_task(
     ruleset_kwargs: dict | None = None,
     keep_rejects: bool = False,
     want_isa: frozenset[str] | None = None,
+    within_ref: "ray.ObjectRef | None" = None,
 ) -> pd.DataFrame:
     """Task-form scorer with a per-worker-process cached ScorerReducer.
 
@@ -335,13 +399,19 @@ def scorer_task(
     candidate blocks feed further shuffles (clustering, caps, facets), and
     Ray's pandas→arrow block conversion would re-attach the unhashable
     pandas schema metadata ("Failed to hash the schemas" in every reduce)."""
-    key = (tuple(sorted((ruleset_kwargs or {}).items())), keep_rejects, want_isa)
+    key = (
+        tuple(sorted((ruleset_kwargs or {}).items())),
+        keep_rejects, want_isa, within_ref,
+    )
     scorer = _scorer_cache.get(key)
     if scorer is None:
+        # ray.get on a broadcast ref is a local shared-memory read after
+        # the first task on each node (standard ray.put broadcast pattern)
+        within = ray.get(within_ref) if within_ref is not None else None
         scorer = _scorer_cache.setdefault(
             key,
             ScorerReducer(ruleset_kwargs, keep_rejects=keep_rejects,
-                          want_isa=want_isa),
+                          want_isa=want_isa, within_polygons=within),
         )
     return table_from_pandas(scorer(bucket), _CANDIDATES_SCHEMA)
 
@@ -354,6 +424,7 @@ def score_attached_pairs(
     ruleset_kwargs: dict[str, Any] | None,
     keep_rejects: bool = False,
     want_isa: set[str] | None = None,
+    within_ref: "ray.ObjectRef | None" = None,
 ) -> "ray.data.Dataset":
     """Stage B: attach WD payloads and score (process-cached task state)."""
     wd_recs = records.filter(expr="side == 'wd'").select_columns(_REC_COLUMNS)
@@ -373,6 +444,7 @@ def score_attached_pairs(
                 "ruleset_kwargs": ruleset_kwargs,
                 "keep_rejects": keep_rejects,
                 "want_isa": frozenset(want_isa) if want_isa else None,
+                "within_ref": within_ref,
             },
             batch_format="pandas",
         )

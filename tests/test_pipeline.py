@@ -364,3 +364,98 @@ def test_bad_qids_gate(ray_session):
     # without the gate the pair is accepted
     res2 = run_linkage(ds, with_clusters=False, scorer_concurrency=(1, 2))
     assert res2.accepted.count() == 1
+
+
+def test_within_polygon_place_names(ray_session):
+    """§2.4 #38 (reference get_within_names, matcher.py:582-599 + 712,720):
+    with hunt_for_more_place_names on, names of place/tourism polygons
+    containing a candidate augment the item's place_names, enabling the
+    reference's "Main Street Station" ↔ "Richmond Main Street Station"
+    match (test_match.py:326-330).  Flag off (the reference default): no
+    match.  Engine == serial oracle under both settings."""
+    import math
+    import random
+
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+    from osm_wikidata_ray.sources.oracle import oracle_accepted_pairs
+    from osm_wikidata_ray.sources.synth import _Scenario
+
+    s = _Scenario(7100, random.Random("within"))
+    q = s.add_wd(
+        {"Richmond Main Street Station": [("label", "en")]},
+        ["railway=station"],
+    )
+    s.add_osm({"name": "Main Street Station", "railway": "station"},
+              north_m=40)
+    # the containing city polygon: equal-area disc radius 500 m
+    s.add_osm(
+        {"name": "Richmond City", "place": "city",
+         "way_area": str(math.pi * 500.0**2)},
+        osm_type="way", north_m=10,
+    )
+    docs = [{"doc_id": d, "spans": sp} for d, sp in s.docs]
+
+    def run(flag):
+        ds = ray_session.data.from_items(docs).repartition(2)
+        res = run_linkage(
+            ds, with_clusters=False, scorer_concurrency=(1, 2),
+            ruleset_kwargs={"hunt_for_more_place_names": flag},
+        )
+        return sorted(
+            (r.qid, r.osm_type, r.osm_id)
+            for r in res.accepted.to_pandas().itertuples()
+        )
+
+    from osm_wikidata_ray.rules.ruleset import RuleSet
+
+    def run_oracle(flag):
+        pairs = oracle_accepted_pairs(
+            docs, ruleset=RuleSet(hunt_for_more_place_names=flag)
+        )
+        return sorted((p["qid"], p["osm_type"], p["osm_id"]) for p in pairs)
+
+    on_engine, off_engine = run(True), run(False)
+    assert off_engine == [] == run_oracle(False)
+    assert len(on_engine) == 1 and on_engine[0][0] == q
+    assert on_engine == run_oracle(True)
+
+
+def test_within_place_names_rules():
+    """rules/within.py unit semantics: equal-area disc containment,
+    place/tourism tag filter, way_area requirement, self-row exclusion."""
+    from osm_wikidata_ray.geo import offset_latlon
+    from osm_wikidata_ray.rules.within import (
+        collect_place_polygons,
+        polygon_radius_m,
+        within_place_names,
+    )
+
+    lat, lon = 51.0, -2.3
+    near = offset_latlon(lat, lon, 300.0, 0.0)
+    far = offset_latlon(lat, lon, 900.0, 0.0)
+    poly = {
+        "osm_type": "way", "osm_id": 1, "lat": lat, "lon": lon,
+        "planet_table": "polygon",
+        "tags": {"name": "Village", "place": "village",
+                 "way_area": str(3.14159265 * 500.0**2)},
+    }
+    no_area = {**poly, "osm_id": 2, "tags": {"name": "X", "place": "town"}}
+    not_place = {**poly, "osm_id": 3,
+                 "tags": {"name": "Y", "landuse": "forest",
+                          "way_area": "1000000"}}
+    node = {"osm_type": "node", "osm_id": 9,
+            "lat": near[0], "lon": near[1], "planet_table": "point",
+            "tags": {"name": "Shop"}}
+
+    polys = collect_place_polygons([poly, no_area, not_place, node])
+    assert [p["osm_id"] for p in polys] == [1]
+    assert abs(polys[0]["radius_m"] - 500.0) < 1.0
+    assert polygon_radius_m({"way_area": "0"}) is None
+    assert polygon_radius_m({"way_area": "bogus"}) is None
+
+    inside = {"osm_type": "node", "osm_id": 9, "lat": near[0], "lon": near[1]}
+    outside = {"osm_type": "node", "osm_id": 10, "lat": far[0], "lon": far[1]}
+    itself = {"osm_type": "way", "osm_id": 1, "lat": lat, "lon": lon}
+    assert within_place_names(inside, polys) == {"Village"}
+    assert within_place_names(outside, polys) == set()
+    assert within_place_names(itself, polys) == set()  # self-row excluded
