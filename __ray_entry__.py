@@ -136,6 +136,35 @@ def _ensure_oracle_dump(n: int) -> dict[str, str]:
     return paths
 
 
+def _ensure_within_oracle_dump(n: int) -> str:
+    """Serial-oracle accepted pairs with hunt_for_more_place_names ON
+    (§2.4 #38) — proves the flag-gated within-polygon path end-to-end
+    (broadcast polygon index + scorer augmentation == serial oracle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/graft_oracle_within_accepted_{n}_{_rules_fingerprint()}.parquet"
+    if not os.path.exists(path):
+        from osm_wikidata_ray.rules.ruleset import RuleSet
+        from osm_wikidata_ray.sources.oracle import oracle_tables
+        from osm_wikidata_ray.sources.synth import generate_corpus
+
+        docs, _gold = generate_corpus(n)
+        tables = oracle_tables(
+            docs, ruleset=RuleSet(hunt_for_more_place_names=True)
+        )
+        schema = pa.schema(
+            [("qid", pa.string()), ("osm_type", pa.string()),
+             ("osm_id", pa.int64()), ("dist", pa.float64())]
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pylist(tables["accepted"], schema=schema), tmp
+        )
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    return path
+
+
 _TD_SF_DIR = "/root/testdata/sf0.01"  # driver compares oracles at sf=0.01
 
 
@@ -223,6 +252,30 @@ def _linkage_clusters(sf_dir: str):
     return _linkage(sf_dir, with_clusters=True).clusters.sort(["node"])
 
 
+def _linkage_within_place(sf_dir: str):
+    """Accepted pairs with the within-polygon place-name flag ON (§2.4
+    #38): a separate flag-on linkage run whose accepted set gains the
+    fam_within_place pairs; oracle = serial-oracle dump under the same
+    flag."""
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+
+    key = (_sf_from_dir(sf_dir), "within")
+    if key not in _linkage_cache:
+        _linkage_cache[key] = run_linkage(
+            _synth_docs_ds(sf_dir),
+            with_clusters=False,
+            hot_key_threshold=500,
+            salt_factor=8,
+            scorer_concurrency=(1, 4),
+            ruleset_kwargs={"hunt_for_more_place_names": True},
+        )
+    return (
+        _linkage_cache[key]
+        .accepted.select_columns(["qid", "osm_type", "osm_id"])
+        .sort(["qid"])
+    )
+
+
 def _linkage_parse(sf_dir: str):
     from osm_wikidata_ray.stages.parse import parse_docs
 
@@ -279,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_accepted": _linkage_accepted,
         "linkage_candidates": _linkage_candidates,
         "linkage_clusters": _linkage_clusters,
+        "linkage_within_place": _linkage_within_place,
         "linkage_parse": _linkage_parse,
         "linkage_span_roundtrip": _linkage_span_roundtrip,
         "media_features": _media_features,
@@ -412,6 +466,11 @@ def oracle_sql() -> dict[str, str]:
         "linkage_accepted": f"""
             SELECT qid, osm_type, osm_id
             FROM read_parquet('{oracle_dumps["accepted"]}') ORDER BY qid
+        """,
+        "linkage_within_place": f"""
+            SELECT qid, osm_type, osm_id
+            FROM read_parquet('{_ensure_within_oracle_dump(_SF_DOCS["0.01"])}')
+            ORDER BY qid
         """,
         "linkage_candidates": f"""
             SELECT qid, osm_type, osm_id, identifier_match, chosen

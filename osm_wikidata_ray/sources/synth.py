@@ -539,6 +539,33 @@ def fam_ceb_stub(s: _Scenario) -> None:
     )
 
 
+def fam_within_place(s: _Scenario) -> None:
+    """Within-polygon place names (§2.4 #38, reference get_within_names
+    matcher.py:582-599 + test_match.py:326-330): the WD label carries a
+    leading place name that only the containing village polygon can
+    explain, so the pair matches ONLY when hunt_for_more_place_names is
+    on.  Default config (the flag off, like the reference): nonmatch —
+    the flag-on driver query (linkage_within_place) and its serial-oracle
+    dump prove the flag-on behavior."""
+    import math as _math
+
+    pn = f"{s.stem}ville"
+    q = s.add_wd(
+        {f"{pn} {s.stem} Mill": [("label", "en")]}, ["man_made=watermill"]
+    )
+    o = s.add_osm(
+        {"name": f"{s.stem} Mill", "man_made": "watermill"}, north_m=40
+    )
+    # the containing village: equal-area disc radius 300 m covers both
+    o_poly = s.add_osm(
+        {"name": pn, "place": "village",
+         "way_area": f"{_math.pi * 300.0**2:.1f}"},
+        osm_type="way", north_m=10,
+    )
+    s.expect(q, o, "nonmatch", "needs-within-place-names")
+    s.expect(q, o_poly, "nonmatch", "village-is-not-a-mill")
+
+
 FAMILIES: list[tuple[str, Callable[[_Scenario], None]]] = [
     ("exact", fam_exact),
     ("case", fam_case),
@@ -565,6 +592,7 @@ FAMILIES: list[tuple[str, Callable[[_Scenario], None]]] = [
     ("tidy_only", fam_tidy_only),
     ("ceb_stub", fam_ceb_stub),
     ("conflict_shadow", fam_conflict_shadow),
+    ("within_place", fam_within_place),
 ]
 HOT_KEY_EVERY = 97  # scenario indices divisible by this run the hot-key family
 
