@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": lambda sf: td.quality_score(sf).sort(["doc_id"]),
         "lang_id": lambda sf: td.lang_id(sf).sort(["doc_id"]),
         "doc_fingerprint": lambda sf: td.doc_fingerprint(sf).sort(["doc_id"]),
+        "chunk_docs": lambda sf: td.chunk_docs(sf).sort(["doc_id", "chunk_id"]),
+        "top_ngrams": lambda sf: td.top_ngrams(sf).sort(["cnt", "ngram"], descending=[True, False]),
         "dedup_exact": lambda sf: td.dedup_exact(sf).sort(["doc_id"]),
         "dedup_minhash": lambda sf: td.dedup_minhash(sf).sort(["doc_a", "doc_b"]),
         "dedup_ngram_jaccard": lambda sf: td.dedup_ngram_jaccard(sf).sort(
@@ -596,6 +598,35 @@ def oracle_sql() -> dict[str, str]:
                                    t -> list_contains({_stopword_list_sql()}, lower(t))))::BIGINT
                        AS n_stop
             FROM documents ORDER BY doc_id
+        """,
+        # chunk i covers whitespace tokens [i*24, i*24+32) of the trimmed
+        # text, single-space re-joined; every doc yields ceil(n/24) chunks
+        # (keep stride/chunk in sync with training_data.chunk_docs defaults)
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(
+                         0, CAST(ceil(len(t) / 24.0) AS BIGINT) - 1)) AS chunk_id
+              FROM toks
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+                       AS chunk_text,
+                   least(len(t) - chunk_id * 24, 32)::BIGINT AS chunk_tokens
+            FROM spans ORDER BY doc_id, chunk_id
+        """,
+        "top_ngrams": """
+            WITH toks AS (
+              SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), pos AS (
+              SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+            )
+            SELECT t[i] || ' ' || t[i + 1] AS ngram, count(*)::BIGINT AS cnt
+            FROM pos GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id

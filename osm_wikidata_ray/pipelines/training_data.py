@@ -107,6 +107,130 @@ def token_counts_bpe(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("source", num_partitions=default_partitions()).sum("n_tokens")
 
 
+#: output schema of chunk_docs, declared so empty batches stay
+#: schema-stable under streaming execution
+_CHUNK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("chunk_id", pa.int64()),
+        ("chunk_text", pa.string()),
+        ("chunk_tokens", pa.int64()),
+    ]
+)
+
+
+def chunk_docs(
+    sf_dir: str, chunk_tokens: int = 32, stride: int = 24
+) -> "ray.data.Dataset":
+    """Fixed-token-window chunking with overlap — the training-sample prep
+    step that turns documents into model-sized sequences.  Chunk ``i`` of a
+    doc covers whitespace tokens ``[i*stride, i*stride + chunk_tokens)``
+    (normalized single-space joins, same ``\\s+`` split as doc_stats); every
+    doc yields ``ceil(n_tokens / stride)`` chunks.
+
+    Vectorized by chunk POSITION, not by doc: one ``list_slice`` +
+    ``binary_join`` Arrow kernel call per position (≤ ceil(max_tokens/stride)
+    calls per batch), never a per-doc Python loop.  Output rows ≈
+    input rows × avg_chunks, all streaming — the op is a pure map, no
+    shuffle, so it scales linearly at 100 TB."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _CHUNK_SCHEMA.empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out: list[pa.Table] = []
+        ci = 0
+        while True:
+            start = ci * stride
+            idx = np.flatnonzero(n_tokens > start)
+            if idx.size == 0:
+                break
+            sub = toks.take(pa.array(idx)) if idx.size < len(batch) else toks
+            sliced = pc.list_slice(sub, start, start + chunk_tokens)
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc_ids[idx], pa.int64()),
+                        "chunk_id": pa.array(
+                            np.full(idx.size, ci, dtype=np.int64)
+                        ),
+                        "chunk_text": pc.binary_join(sliced, " "),
+                        "chunk_tokens": pc.cast(
+                            pc.list_value_length(sliced), pa.int64()
+                        ),
+                    }
+                )
+            )
+            ci += 1
+        return pa.concat_tables(out) if out else _CHUNK_SCHEMA.empty_table()
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
+def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> "ray.data.Dataset":
+    """Corpus-level top-k word n-grams (vocabulary / contamination
+    analysis): partial counts inside each map batch (numpy unique over a
+    doc-boundary-masked flattened token stream), then a groupby-sum whose
+    shuffle carries only (ngram, partial_count) rows — bounded by DISTINCT
+    grams per batch, not corpus size — and a final sort-limit.  Tie-break
+    (count desc, ngram asc) is deterministic on both the Ray and SQL side
+    so the top-k SET is stable.  At 100 TB the exact contract keeps the
+    groupby input at distinct-grams volume; a heavy-hitters sketch would
+    replace the tail if the vocabulary itself outgrew the cluster."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ngram": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+        if len(batch) == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pd.Series(toks.values.to_pandas(), copy=False)
+        total = len(flat)
+        n_grams = total - (n - 1)
+        if n_grams <= 0:
+            return empty
+        # position i starts a gram iff tokens i..i+n-1 are in ONE doc:
+        # none of i+1..i+n-1 may be a doc start
+        is_start = np.zeros(total, dtype=bool)
+        starts = np.cumsum(lens) - lens
+        is_start[starts] = True
+        valid = np.ones(n_grams, dtype=bool)
+        grams = flat.iloc[:n_grams].reset_index(drop=True)
+        for j in range(1, n):
+            valid &= ~is_start[j : n_grams + j]
+            grams = grams + " " + flat.iloc[j : n_grams + j].reset_index(drop=True)
+        uniq, counts = np.unique(grams[valid].to_numpy(), return_counts=True)
+        return pa.table(
+            {"ngram": pa.array(uniq, pa.string()),
+             "cnt": pa.array(counts, pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    totals = ds.groupby("ngram", num_partitions=default_partitions()).sum(
+        "cnt", ignore_nulls=True
+    )
+    # groupby .sum renames to sum(cnt); restore the contract column name
+    totals = totals.rename_columns({"sum(cnt)": "cnt"})
+    return totals.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
 def quality_score(sf_dir: str) -> "ray.data.Dataset":
     """Heuristic quality components (ints for oracle-exact comparison):
     length, punctuation, case, digits, token count and stopword count —

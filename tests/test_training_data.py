@@ -299,3 +299,90 @@ def test_frame_sampler(ray_session):
     ).to_pandas()
     assert sorted(sampled[sampled.media_id == "v1"].frame_no) == [0, 2, 4]
     assert all(len(f) == 8 for f in sampled.feature)
+
+
+def test_chunk_docs_matches_python(ray_session):
+    """Fixed-token-window chunking: every doc yields ceil(n/stride) chunks,
+    chunk i covering tokens [i*stride, i*stride+chunk) single-space joined
+    (same \\s+ split as doc_stats)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import chunk_docs
+
+    out = (
+        chunk_docs(SF, chunk_tokens=32, stride=24)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expected = []
+    for doc_id, text in sorted(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    ):
+        toks = re.split(r"\s+", text.strip())
+        ci = 0
+        while ci * 24 < len(toks):
+            sl = toks[ci * 24 : ci * 24 + 32]
+            expected.append((doc_id, ci, " ".join(sl), len(sl)))
+            ci += 1
+    assert len(out) == len(expected)
+    got = list(map(tuple, out[["doc_id", "chunk_id", "chunk_text", "chunk_tokens"]].values))
+    assert got == expected
+    # overlap invariant: consecutive chunks share chunk-stride tokens
+    full = out[out.chunk_tokens == 32]
+    assert len(full) > 0  # corpus has docs longer than one window
+
+
+def test_top_ngrams_matches_python(ray_session):
+    """Corpus top-k bigrams with deterministic (count desc, ngram asc)
+    tie-break equals a serial Counter over the same tokenization."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import top_ngrams
+
+    out = top_ngrams(SF, n=2, k=15).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for text in t.column("text").to_pylist():
+        toks = re.split(r"\s+", text.strip())
+        for a, b in zip(toks, toks[1:]):
+            c[a + " " + b] += 1
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = sorted(
+        map(tuple, out[["ngram", "cnt"]].values), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert got == expected
+
+
+def test_top_ngrams_no_cross_doc_grams(ray_session):
+    """Bigrams never span document boundaries (the doc-start mask)."""
+    import pyarrow as pa
+
+    import osm_wikidata_ray.pipelines.training_data as td
+
+    docs = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta", "beta gamma", "gamma alpha"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [1, 1, 1],
+        }
+    )
+    import pyarrow.parquet as pq
+
+    d = "/tmp/ngram_edge"
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(docs, f"{d}/documents.parquet")
+    out = td.top_ngrams(d, n=2, k=10).to_pandas()
+    got = dict(zip(out["ngram"], out["cnt"]))
+    # cross-doc grams like "beta beta" / "gamma gamma" must NOT appear
+    assert got == {"alpha beta": 1, "beta gamma": 1, "gamma alpha": 1}
