@@ -165,6 +165,35 @@ def _ensure_within_oracle_dump(n: int) -> str:
     return path
 
 
+def _audio_fingerprint() -> str:
+    """Version tag for the audio oracle dump: corpus + the engine decoder
+    module + the serial-oracle module."""
+    import hashlib
+
+    import osm_wikidata_ray
+
+    pkg = os.path.dirname(osm_wikidata_ray.__file__)
+    h = hashlib.md5(_corpus_fingerprint().encode())
+    for rel in ("pipelines/multimodal.py", "sources/td_oracle.py"):
+        h.update(open(os.path.join(pkg, rel), "rb").read())
+    return h.hexdigest()[:8]
+
+
+def _ensure_audio_oracle_dump(n: int) -> str:
+    """Expected audio features of the synth corpus's media spans, decoded
+    serially through the stdlib `wave` module (an INDEPENDENT RIFF parser
+    from the engine's numpy chunk walk) — sources/td_oracle.py."""
+    path = f"/tmp/graft_audio_oracle_{n}_{_audio_fingerprint()}.parquet"
+    if not os.path.exists(path):
+        from osm_wikidata_ray.sources.td_oracle import audio_features_expected
+
+        df = audio_features_expected(_ensure_docs_dump(n))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    return path
+
+
 _TD_SF_DIR = "/root/testdata/sf0.01"  # driver compares oracles at sf=0.01
 
 
@@ -318,6 +347,12 @@ def _media_features(sf_dir: str):
     return ds.select_columns(["media_id"]).sort(["media_id"])
 
 
+def _audio_features(sf_dir: str):
+    from osm_wikidata_ray.pipelines.multimodal import audio_features
+
+    return audio_features(_synth_docs_ds(sf_dir)).sort(["media_id"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full linkage run."""
     return _linkage_accepted("/root/testdata/sf0.001")
@@ -336,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_parse": _linkage_parse,
         "linkage_span_roundtrip": _linkage_span_roundtrip,
         "media_features": _media_features,
+        "audio_features": _audio_features,
         # --- training-data ops over documents/embeddings ---
         "doc_stats": lambda sf: td.doc_stats(sf).sort(["doc_id"]),
         "token_counts": lambda sf: td.token_counts(sf).sort(["source"]),
@@ -372,8 +408,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "vec_id"])
         .sort(["query_id", "vec_id"]),
         # --- relational operator proofs (exact DuckDB oracles) ---
+        "stratified_sample": lambda sf: td.stratified_sample(sf).sort(
+            ["doc_id"]
+        ),
         "q_pricing_summary": lambda sf: td.pricing_summary(sf).sort(
             ["l_returnflag", "l_linestatus"]
+        ),
+        "q_shipping_priority": lambda sf: td.shipping_priority(sf).sort(
+            ["revenue", "o_orderkey"], descending=[True, False]
         ),
         "q_top_customers": td.top_customers,
         "q_events_by_type": lambda sf: td.events_by_type(sf).sort(["event_type"]),
@@ -541,6 +583,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id || '#' || s."offset" AS media_id FROM su
             WHERE s.kind = 'media' ORDER BY media_id
         """,
+        # real WAV decode: expected features computed serially through the
+        # stdlib `wave` module (independent RIFF parser) — dump oracle
+        "audio_features": f"""
+            SELECT media_id, n_samples, sample_rate, duration_ms,
+                   rms, zero_crossings, peak
+            FROM read_parquet('{_ensure_audio_oracle_dump(_SF_DOCS["0.01"])}')
+            ORDER BY media_id
+        """,
         "lang_id": f"""
             WITH toks AS (
               SELECT doc_id,
@@ -690,6 +740,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id FROM scored WHERE rn <= 10
             ORDER BY query_id, vec_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents)
+            WHERE rn <= 5 ORDER BY doc_id
+        """,
+        "q_shipping_priority": """
+            SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
         """,
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -6,13 +6,13 @@ adds the actor-pool stages a training-data pipeline needs on top: decode,
 feature-extract, resize, frame-sample.
 
 The decode kernel is REAL for the netpbm formats (binary PPM/PGM — parsed
-in pure Python/numpy, no codec libraries needed) AND for baseline PNG
-(stdlib zlib inflate + scanline unfilter + numpy — see decode_png): magic
-sniff → header parse → pixel matrix → block-mean resize → feature vector.
-JPEG/audio need codec libraries that are not in this container, so those
-magics raise NotImplementedError with a clear message (``fake=True``
-substitutes a deterministic pseudo-decoder for testing that path's
-plumbing).
+in pure Python/numpy, no codec libraries needed), for baseline PNG
+(stdlib zlib inflate + scanline unfilter + numpy — see decode_png) AND for
+RIFF/WAVE PCM audio (struct chunk walk + numpy — see decode_wav): magic
+sniff → header parse → pixel/sample matrix → features.  Only
+codec-library formats (JPEG, compressed audio) raise NotImplementedError
+with a clear message (``fake=True`` substitutes a deterministic
+pseudo-decoder for testing that path's plumbing).
 """
 
 from __future__ import annotations
@@ -278,10 +278,10 @@ class MediaDecoder:
             rng = np.random.RandomState(seed % (2**31))
             return rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
         raise NotImplementedError(
-            "only binary netpbm (PPM/PGM) and baseline PNG decode in this "
-            "container; JPEG/audio need codec libraries — construct with "
-            "fake=True to exercise the plumbing with a deterministic stub "
-            "decoder"
+            "only binary netpbm (PPM/PGM) and baseline PNG image decode in "
+            "this container (WAV audio decodes via decode_wav/AudioFeatures); "
+            "JPEG needs codec libraries — construct with fake=True to "
+            "exercise the plumbing with a deterministic stub decoder"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -386,6 +386,158 @@ def media_features(
     media = media_table_from_docs(docs)
     return media.map_batches(
         MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --- audio (RIFF/WAVE PCM — pure struct/numpy, no codec library) ---
+
+_WAV_RATE = 8000
+
+
+def encode_wav(samples: np.ndarray, rate: int = _WAV_RATE) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes (format tag 1, 16-bit)."""
+    import struct
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → (int16 sample vector, sample_rate).
+
+    A REAL audio decode with no codec dependency: pure struct chunk walk
+    (word-aligned per the RIFF spec) + numpy frombuffer.  16-bit PCM only;
+    multi-channel payloads downmix by truncating-mean.  The serial oracle
+    decodes the same bytes through the stdlib `wave` module instead
+    (sources/td_oracle.audio_features_expected), so the two parsers check
+    each other."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate: int | None = None
+    channels = 1
+    samples: np.ndarray | None = None
+    i = 12
+    while i + 8 <= len(data):
+        tag = data[i : i + 4]
+        (length,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + length]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only 16-bit PCM WAV decode in this container (no codec "
+                    "libraries for compressed audio)"
+                )
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if channels > 1:
+        usable = len(samples) // channels * channels
+        samples = (
+            samples[:usable]
+            .reshape(-1, channels)
+            .astype(np.int32)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return samples, int(rate)
+
+
+def synth_wav_for_ref(ref: str, rate: int = _WAV_RATE) -> bytes:
+    """Deterministic PCM payload for a media ref — the shared
+    input-generation spec (like media_table_from_docs's PPM fabrication):
+    the engine and the serial oracle decode the SAME bytes through
+    DIFFERENT RIFF parsers."""
+    seed = int.from_bytes(hashlib.sha256(ref.encode()).digest()[:8], "big")
+    rng = np.random.RandomState(seed % (2**31))
+    n = 400 + int(seed % 1200)
+    samples = rng.randint(-(2**15), 2**15, size=n).astype(np.int16)
+    return encode_wav(samples, rate)
+
+
+def audio_table_from_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Media spans → typed audio table with real WAV payloads (the real
+    system would fetch object-store bytes by media_ref)."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        out: dict[str, list[Any]] = {n: [] for n in MEDIA_SCHEMA.names}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for s in spans:
+                if s["kind"] != "media":
+                    continue
+                out["media_id"].append(f"{doc_id}#{s['offset']}")
+                out["media_ref"].append(s["media_ref"])
+                out["payload"].append(synth_wav_for_ref(s["media_ref"]))
+                out["media_type"].append("audio")
+                out["width"].append(0)
+                out["height"].append(0)
+        return pa.Table.from_pydict(out, schema=MEDIA_SCHEMA)
+
+    return docs.map_batches(extract, batch_format="pyarrow")
+
+
+class AudioFeatures:
+    """Actor-pool audio feature stage: decode_wav per payload, integer-exact
+    features (sample count, duration, peak, zero crossings) plus RMS rounded
+    to 4 dp — every float op identical to the serial oracle's plain-Python
+    math so the dump oracle matches bit-for-bit."""
+
+    OUT_SCHEMA = pa.schema(
+        [("media_id", pa.string()), ("n_samples", pa.int64()),
+         ("sample_rate", pa.int64()), ("duration_ms", pa.int64()),
+         ("rms", pa.float64()), ("zero_crossings", pa.int64()),
+         ("peak", pa.int64())]
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        out: dict[str, list[Any]] = {n: [] for n in self.OUT_SCHEMA.names}
+        for media_id, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            x, rate = decode_wav(payload)
+            xi = x.astype(np.int64)
+            n = len(xi)
+            ssum = int((xi * xi).sum())
+            nonneg = xi >= 0
+            out["media_id"].append(media_id)
+            out["n_samples"].append(n)
+            out["sample_rate"].append(rate)
+            out["duration_ms"].append(n * 1000 // rate)
+            out["rms"].append(round(math.sqrt(ssum / n), 4) if n else 0.0)
+            out["zero_crossings"].append(
+                int((nonneg[1:] != nonneg[:-1]).sum()) if n > 1 else 0
+            )
+            out["peak"].append(int(np.abs(xi).max()) if n else 0)
+        return pa.Table.from_pydict(out, schema=self.OUT_SCHEMA)
+
+
+def audio_features(
+    docs: "ray.data.Dataset", concurrency: tuple[int, int] = (1, 4), batch_size: int = 64
+) -> "ray.data.Dataset":
+    """doc table → per-media audio feature rows (real RIFF/PCM decode actor
+    pool; AudioFeatures has the decode contract)."""
+    audio = audio_table_from_docs(docs)
+    return audio.map_batches(
+        AudioFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

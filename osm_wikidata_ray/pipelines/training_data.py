@@ -1573,3 +1573,176 @@ def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dat
         lambda b: pa.table({"canonical_doc": b.column("min(doc_id)")}),
         batch_format="pyarrow",
     )
+
+
+def shipping_priority(
+    sf_dir: str,
+    cutoff: str = "1998-06-01",
+    segment: str = "BUILDING",
+    n: int = 10,
+) -> "ray.data.Dataset":
+    """TPC-H-Q3-style three-way join: revenue of unshipped lineitems for one
+    market segment's orders, top-n by revenue.
+
+    The distributed-join pattern next to top_customers' broadcast join: the
+    filtered customer side is tiny (one segment) and ships once as a sorted
+    key array via ray.put (semi-join inside the orders scan — no exchange);
+    orders and lineitem CO-PARTITION on the join key with one hash-bucket
+    exchange each (union → groupby bucket), and because every row of one
+    o_orderkey lands in one bucket, the per-order aggregate finishes inside
+    its bucket — no second shuffle, just a tiny global top-n sort."""
+    import pyarrow.parquet as pq
+
+    from ..stages.blocking import add_bucket_int
+
+    cutoff_ts = pd.Timestamp(cutoff)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_mask = pc.equal(cust.column("c_mktsegment"), segment)
+    keys = (
+        cust.column("c_custkey")
+        .filter(seg_mask)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    keys_ref = ray.put(np.sort(keys))
+
+    union_schema = pa.schema(
+        [("orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+         ("revenue", pa.float64()), ("is_order", pa.bool_())]
+    )
+
+    class OrderSide:
+        """Actor stage: the broadcast custkey set loads once per actor."""
+
+        def __init__(self) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.less(
+                batch.column("o_orderdate"), pa.scalar(cutoff_ts)
+            ).to_numpy(zero_copy_only=False)
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            # semi-join against the broadcast sorted key array
+            mask &= np.isin(ck, self.keys)
+            t = batch.filter(pa.array(mask))
+            m = len(t)
+            return pa.table(
+                {"orderkey": t.column("o_orderkey"),
+                 "o_orderdate": t.column("o_orderdate"),
+                 "revenue": pa.nulls(m, pa.float64()),
+                 "is_order": pa.array(np.ones(m, dtype=bool))},
+                schema=union_schema,
+            )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater(batch.column("l_shipdate"), pa.scalar(cutoff_ts))
+        )
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        m = len(t)
+        return pa.table(
+            {"orderkey": t.column("l_orderkey"),
+             "o_orderdate": pa.nulls(m, pa.timestamp("us")),
+             "revenue": rev,
+             "is_order": pa.array(np.zeros(m, dtype=bool))},
+            schema=union_schema,
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(OrderSide, batch_format="pyarrow", concurrency=(1, 4))
+    lines = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    n_parts = default_partitions()
+    out_cols = ["o_orderkey", "revenue", "o_orderdate"]
+    empty = pd.DataFrame(
+        {"o_orderkey": pd.Series(dtype="int64"),
+         "revenue": pd.Series(dtype="float64"),
+         "o_orderdate": pd.Series(dtype="datetime64[us]")}
+    )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_o = bucket["is_order"].to_numpy()
+        o = bucket.loc[is_o, ["orderkey", "o_orderdate"]]
+        li = bucket.loc[~is_o, ["orderkey", "revenue"]]
+        if o.empty or li.empty:
+            return empty
+        j = li.merge(o, on="orderkey", how="inner")
+        if j.empty:
+            return empty
+        agg = j.groupby(["orderkey", "o_orderdate"], as_index=False)[
+            "revenue"
+        ].sum()
+        agg["revenue"] = agg["revenue"].round(2)
+        agg = agg.rename(columns={"orderkey": "o_orderkey"})
+        return agg[out_cols]
+
+    joined = (
+        orders.union(lines)
+        .map_batches(
+            lambda b: add_bucket_int(b, "orderkey", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+    return joined.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(n)
+
+
+def stratified_sample(sf_dir: str, per_source: int = 5) -> "ray.data.Dataset":
+    """Deterministic stratified sampling: per `source` stratum keep the
+    `per_source` docs with the smallest md5(doc_id) — seedless,
+    partitioning-independent (the same rows come back at any cluster size),
+    and exactly reproducible in SQL (DuckDB's md5 orders the same keys).
+
+    Scale shape: a per-batch partial top-m combiner cuts the exchange to
+    ≤ m × strata rows per block before one tiny groupby; md5 here is ONE
+    16-byte hash per row for the sampling key (not the per-byte-window loop
+    doc_fingerprint was flagged for — there is no vectorized md5 and the
+    key must match SQL's md5 bit-for-bit)."""
+    import hashlib
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(str(i).encode()).hexdigest()
+            for i in batch.column("doc_id").to_pylist()
+        ]
+        df = pd.DataFrame(
+            {"doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+             "source": batch.column("source").to_pylist(),
+             "sample_key": keys}
+        )
+        # partial combiner: only the per-batch top-m per stratum shuffles
+        part = (
+            df.sort_values(["source", "sample_key", "doc_id"], kind="stable")
+            .groupby("source", sort=False)
+            .head(per_source)
+        )
+        return table_from_pandas(
+            part,
+            pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()),
+                 ("sample_key", pa.string())]
+            ),
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sample_key", "doc_id"], kind="stable").head(
+            per_source
+        )
+        return g[["doc_id", "source"]]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("source", num_partitions=8)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -311,3 +311,52 @@ def doc_fingerprint_expected(
         signed = f - (1 << 64) if f >= (1 << 63) else f  # int64 bit-cast
         rows.append((int(doc_id), signed))
     return pd.DataFrame(rows, columns=["doc_id", "fingerprint"]).astype("int64")
+
+
+def audio_features_expected(docs_parquet: str) -> pd.DataFrame:
+    """Expected audio features for the synth corpus's media spans, decoded
+    through an INDEPENDENT RIFF parser: the stdlib `wave` module reads the
+    container (vs the engine's struct/numpy chunk walk in
+    pipelines/multimodal.decode_wav) and plain-Python integer loops compute
+    the features.  Input bytes are the shared generation spec
+    (multimodal.synth_wav_for_ref)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from ..pipelines.multimodal import synth_wav_for_ref
+
+    t = pq.read_table(docs_parquet, columns=["doc_id", "spans"])
+    rows = []
+    for doc_id, spans in zip(
+        t.column("doc_id").to_pylist(), t.column("spans").to_pylist()
+    ):
+        for s in spans:
+            if s["kind"] != "media":
+                continue
+            payload = synth_wav_for_ref(s["media_ref"])
+            with wave.open(io.BytesIO(payload)) as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                rate = w.getframerate()
+                nf = w.getnframes()
+                vals = struct.unpack("<%dh" % nf, w.readframes(nf))
+            n = len(vals)
+            ssum = sum(v * v for v in vals)
+            rms = round(math.sqrt(ssum / n), 4) if n else 0.0
+            zc = sum(
+                (vals[i] >= 0) != (vals[i + 1] >= 0) for i in range(n - 1)
+            )
+            peak = max(abs(v) for v in vals) if n else 0
+            rows.append(
+                (f"{doc_id}#{s['offset']}", n, rate, n * 1000 // rate,
+                 rms, zc, peak)
+            )
+    df = pd.DataFrame(
+        rows,
+        columns=["media_id", "n_samples", "sample_rate", "duration_ms",
+                 "rms", "zero_crossings", "peak"],
+    )
+    for c in ("n_samples", "sample_rate", "duration_ms", "zero_crossings", "peak"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -1,6 +1,7 @@
 """Training-data operator tests over the sf0.001 tables + multimodal stub."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -386,3 +387,100 @@ def test_top_ngrams_no_cross_doc_grams(ray_session):
     got = dict(zip(out["ngram"], out["cnt"]))
     # cross-doc grams like "beta beta" / "gamma gamma" must NOT appear
     assert got == {"alpha beta": 1, "beta gamma": 1, "gamma alpha": 1}
+
+
+def test_wav_roundtrip_and_stereo_downmix():
+    """encode_wav → decode_wav is lossless for mono int16 PCM; stereo
+    payloads downmix by truncating-mean; odd-length chunks respect RIFF
+    word alignment."""
+    import struct
+
+    from osm_wikidata_ray.pipelines.multimodal import decode_wav, encode_wav
+
+    x = np.array([0, 1, -1, 32767, -32768, 100], dtype=np.int16)
+    out, rate = decode_wav(encode_wav(x, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(out, x)
+
+    # stereo: interleave L/R, expect truncating mean per frame
+    stereo = np.array([100, 200, -100, -201, 7, 8], dtype=np.int16)
+    data = np.ascontiguousarray(stereo, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, rate = decode_wav(payload)
+    # int32 mean truncates toward zero on .astype(int16)
+    assert out.tolist() == [150, -150, 7]
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+
+
+def test_audio_features_matches_stdlib_wave(ray_session, tmp_path):
+    """Engine audio features (numpy RIFF walk, actor pool) == the serial
+    stdlib-`wave` oracle on the same deterministic payloads."""
+    from osm_wikidata_ray.pipelines.multimodal import audio_features
+    from osm_wikidata_ray.sources.synth import write_corpus_parquet
+    from osm_wikidata_ray.sources.td_oracle import audio_features_expected
+    from osm_wikidata_ray.util import read_parquet_clean
+
+    path = str(tmp_path / "docs.parquet")
+    write_corpus_parquet(path, None, 120)
+    got = (
+        audio_features(read_parquet_clean(path))
+        .sort(["media_id"])
+        .to_pandas()
+    )
+    want = (
+        audio_features_expected(path)
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_shipping_priority_matches_duckdb(ray_session):
+    """Co-partitioned 3-way join == DuckDB on the sf0.001 tables (every
+    orderkey's rows land in one bucket, so per-order sums are complete)."""
+    import duckdb
+
+    from osm_wikidata_ray.pipelines.training_data import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        shipping_priority(sf)
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .to_pandas()
+    )
+    want = duckdb.sql(f"""
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM read_parquet('{sf}/customer.parquet') c
+        JOIN read_parquet('{sf}/orders.parquet') o ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{sf}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """).df()
+    assert len(got) == 10
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """Per-stratum sample size respected; selection is md5-deterministic
+    (same rows on a different partitioning)."""
+    from osm_wikidata_ray.pipelines.training_data import stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = stratified_sample(sf, per_source=3).to_pandas()
+    sizes = got.groupby("source").size()
+    assert (sizes <= 3).all() and len(got) > 0
+    again = stratified_sample(sf, per_source=3).to_pandas()
+    a = got.sort_values(["doc_id"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
