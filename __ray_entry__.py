@@ -194,6 +194,20 @@ def _ensure_audio_oracle_dump(n: int) -> str:
     return path
 
 
+def _ensure_video_oracle_dump(n: int) -> str:
+    """Expected stride-sampled video frame rows, scanned serially through
+    an independent regex-based netpbm parser — sources/td_oracle.py."""
+    path = f"/tmp/graft_video_oracle_{n}_{_audio_fingerprint()}.parquet"
+    if not os.path.exists(path):
+        from osm_wikidata_ray.sources.td_oracle import video_frames_expected
+
+        df = video_frames_expected(_ensure_docs_dump(n))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    return path
+
+
 _TD_SF_DIR = "/root/testdata/sf0.01"  # driver compares oracles at sf=0.01
 
 
@@ -353,6 +367,26 @@ def _audio_features(sf_dir: str):
     return audio_features(_synth_docs_ds(sf_dir)).sort(["media_id"])
 
 
+def _video_frames(sf_dir: str):
+    from osm_wikidata_ray.pipelines.multimodal import video_frames
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def widen(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("frame_no")
+        return b.set_column(i, "frame_no", pc.cast(b.column("frame_no"), pa.int64()))
+
+    # feature vectors stay internal (float32 lists); the oracle compares
+    # the integer-exact raw-pixel checksum per sampled frame
+    return (
+        video_frames(_synth_docs_ds(sf_dir))
+        .select_columns(["media_id", "frame_no", "pixel_sum"])
+        .map_batches(widen, batch_format="pyarrow")
+        .sort(["media_id", "frame_no"])
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full linkage run."""
     return _linkage_accepted("/root/testdata/sf0.001")
@@ -372,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_span_roundtrip": _linkage_span_roundtrip,
         "media_features": _media_features,
         "audio_features": _audio_features,
+        "video_frames": _video_frames,
         # --- training-data ops over documents/embeddings ---
         "doc_stats": lambda sf: td.doc_stats(sf).sort(["doc_id"]),
         "token_counts": lambda sf: td.token_counts(sf).sort(["source"]),
@@ -424,6 +459,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q_sessionize": lambda sf: td.sessionize_events(sf).sort(
             ["user_id", "session_no"]
+        ),
+        "q_asof_join": lambda sf: td.asof_join_events(sf).sort(
+            ["purchase_id"]
+        ),
+        "q_length_quantiles": td.doc_length_quantiles,
+        "lm_score": lambda sf: td.lm_score(sf).sort(["doc_id"]),
+        "q_group_topk": lambda sf: td.group_topk(sf).sort(
+            ["source", "doc_id"]
         ),
         "linkage_lang_counts": _linkage_lang_counts,
         "linkage_osm_lang_counts": _linkage_osm_lang_counts,
@@ -741,6 +784,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id FROM scored WHERE rn <= 10
             ORDER BY query_id, vec_id
         """,
+        "video_frames": f"""
+            SELECT media_id, frame_no, pixel_sum
+            FROM read_parquet('{_ensure_video_oracle_dump(_SF_DOCS["0.01"])}')
+            ORDER BY media_id, frame_no
+        """,
         "stratified_sample": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
@@ -791,6 +839,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        # unigram LM retrained in CTEs: same tokenizer, same top-V vocab
+        # (count desc, word asc), same OOV mass 1/total
+        "lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents
+            ), toks_ne AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+            counts AS (SELECT w, count(*) AS c FROM toks_ne GROUP BY w),
+            total AS (SELECT sum(c) AS t FROM counts),
+            vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 4096),
+            scored AS (
+              SELECT tk.doc_id,
+                     coalesce(ln(v.c / tt.t), ln(1.0 / tt.t)) AS lp
+              FROM toks_ne tk LEFT JOIN vocab v USING (w), total tt)
+            SELECT doc_id, round(avg(lp), 4) AS avg_logprob
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q_length_quantiles": """
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]))
+                       AS n_chars_q
+            FROM documents
+        """,
+        "q_asof_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   coalesce(
+                     (SELECT c.event_id FROM events c
+                      WHERE c.user_id = p.user_id
+                        AND c.event_type = 'click' AND c.ts <= p.ts
+                      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1),
+                     -1) AS click_id
+            FROM events p WHERE p.event_type = 'purchase'
+            ORDER BY purchase_id
+        """,
+        "q_group_topk": """
+            SELECT source, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id
+                     ) AS rn
+              FROM documents)
+            WHERE rn <= 3 ORDER BY source, doc_id
         """,
         "q_sessionize": """
             WITH ordered AS (

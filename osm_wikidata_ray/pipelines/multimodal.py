@@ -346,7 +346,7 @@ class FrameSampler:
 
     OUT_SCHEMA = pa.schema(
         [("media_id", pa.string()), ("frame_no", pa.int32()),
-         ("feature", pa.list_(pa.float32()))]
+         ("pixel_sum", pa.int64()), ("feature", pa.list_(pa.float32()))]
     )
 
     def __init__(self, stride: int = 2, target_size: int = 8) -> None:
@@ -354,7 +354,7 @@ class FrameSampler:
         self.target_size = target_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_nos, feats = [], [], []
+        ids, frame_nos, sums, feats = [], [], [], []
         for media_id, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
@@ -369,10 +369,14 @@ class FrameSampler:
                 resized = block_mean_resize(gray, self.target_size)
                 ids.append(media_id)
                 frame_nos.append(k)
+                # integer-exact raw-pixel checksum: lets a serial oracle
+                # with an independent netpbm parser verify the decode
+                sums.append(int(img.astype(np.int64).sum()))
                 feats.append(resized.mean(axis=0).astype(np.float32).tolist())
         return pa.table(
             {"media_id": pa.array(ids, pa.string()),
              "frame_no": pa.array(frame_nos, pa.int32()),
+             "pixel_sum": pa.array(sums, pa.int64()),
              "feature": pa.array(feats, pa.list_(pa.float32()))},
             schema=self.OUT_SCHEMA,
         )
@@ -538,6 +542,58 @@ def audio_features(
     audio = audio_table_from_docs(docs)
     return audio.map_batches(
         AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_video_for_ref(ref: str) -> bytes:
+    """Deterministic 'video' payload for a media ref: 3–6 concatenated
+    binary PPM frames (the naive container FrameSampler consumes) — the
+    shared input-generation spec for the video_frames dump oracle."""
+    seed = int.from_bytes(hashlib.sha256(ref.encode()).digest()[:8], "big")
+    rng = np.random.RandomState(seed % (2**31))
+    n_frames = 3 + int(seed % 4)
+    return b"".join(
+        encode_ppm(rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8))
+        for _ in range(n_frames)
+    )
+
+
+def video_table_from_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Media spans → typed video table with concatenated-PPM payloads."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        out: dict[str, list[Any]] = {n: [] for n in MEDIA_SCHEMA.names}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for s in spans:
+                if s["kind"] != "media":
+                    continue
+                out["media_id"].append(f"{doc_id}#{s['offset']}")
+                out["media_ref"].append(s["media_ref"])
+                out["payload"].append(synth_video_for_ref(s["media_ref"]))
+                out["media_type"].append("video")
+                out["width"].append(6)
+                out["height"].append(6)
+        return pa.Table.from_pydict(out, schema=MEDIA_SCHEMA)
+
+    return docs.map_batches(extract, batch_format="pyarrow")
+
+
+def video_frames(
+    docs: "ray.data.Dataset",
+    stride: int = 2,
+    concurrency: tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """doc table → stride-sampled per-frame rows (FrameSampler actor pool)."""
+    video = video_table_from_docs(docs)
+    return video.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1746,3 +1746,223 @@ def stratified_sample(sf_dir: str, per_source: int = 5) -> "ray.data.Dataset":
         .groupby("source", num_partitions=8)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def asof_join_events(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+) -> "ray.data.Dataset":
+    """As-of join — an operator Ray Data has no native form for: each
+    `left_type` event joins the most recent `right_type` event of the SAME
+    user at or before its timestamp.
+
+    Composition (SURVEY §custom-operators option a): BOTH streams
+    co-partition by user_id in ONE hash-bucket exchange, then a vectorized
+    pandas merge_asof per bucket — rows sorted by (ts, event_id) so an
+    exact-timestamp tie resolves to the max event_id, matching the SQL
+    `ORDER BY ts DESC, event_id DESC LIMIT 1` oracle.  Partitioning
+    assumption (documented): one user's events fit one bucket — per-user
+    volume is session-scale; a pathological single-user firehose would need
+    time-range sub-bucketing with boundary carry-over."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(
+                batch.column("event_type"),
+                value_set=pa.array([left_type, right_type]),
+            )
+        )
+
+    out_cols = ["purchase_id", "user_id", "click_id"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
+
+    def bucket_asof(bucket: pd.DataFrame) -> pd.DataFrame:
+        left = bucket.loc[bucket["event_type"] == left_type,
+                          ["event_id", "user_id", "ts"]]
+        if left.empty:
+            return empty
+        right = bucket.loc[bucket["event_type"] == right_type,
+                           ["event_id", "user_id", "ts"]]
+        left = left.sort_values(["ts", "event_id"], kind="stable")
+        right = right.sort_values(["ts", "event_id"], kind="stable")
+        j = pd.merge_asof(
+            left, right, on="ts", by="user_id",
+            direction="backward", suffixes=("", "_r"),
+        )
+        # no-match encodes as -1 (keeps the column int64 on both sides of
+        # the oracle compare instead of a nullable float)
+        return pd.DataFrame(
+            {"purchase_id": j["event_id"].astype("int64"),
+             "user_id": j["user_id"].astype("int64"),
+             "click_id": j["event_id_r"].fillna(-1).astype("int64")}
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return (
+        ds.map_batches(pick, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "user_id", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(bucket_asof, batch_format="pandas")
+    )
+
+
+def group_topk(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-group top-k (the window-function `row_number() <= k` pattern):
+    rank docs per source by (n_chars desc, doc_id asc).  A per-batch
+    partial top-k combiner bounds the exchange to ≤ k × strata rows per
+    block before the tiny final groupby."""
+    schema = pa.schema(
+        [("source", pa.string()), ("doc_id", pa.int64()),
+         ("n_chars", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": batch.column("source").to_pylist(),
+             "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+             "n_chars": batch.column("n_chars").to_numpy(zero_copy_only=False)}
+        )
+        part = (
+            df.sort_values(
+                ["source", "n_chars", "doc_id"],
+                ascending=[True, False, True], kind="stable",
+            )
+            .groupby("source", sort=False)
+            .head(k)
+        )
+        return table_from_pandas(part, schema)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return g[["source", "doc_id", "n_chars"]]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=8)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def doc_length_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> pd.DataFrame:
+    """EXACT discrete quantiles of document length, distributed as a
+    value-domain histogram: one groupby over DISTINCT n_chars values (the
+    exchange is bounded by the value domain, not the row count — lengths
+    collapse to at most a few thousand distinct integers at any corpus
+    size) → a tiny driver-side cumulative rank walk.  Reproduces DuckDB's
+    `quantile_disc` rank rule exactly: the value at rank ceil(q·n) of the
+    sorted multiset (measured empirically; lower-bounded at rank 1)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    hist = (
+        ds.groupby("n_chars", num_partitions=8)
+        .count()
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    total = int(hist["count()"].sum())
+    cum = hist["count()"].cumsum()
+    rows = []
+    for q in qs:
+        rank = max(int(math.ceil(q * total)), 1)
+        v = hist.loc[cum >= rank, "n_chars"].iloc[0]
+        rows.append((float(q), int(v)))
+    return pd.DataFrame(rows, columns=["q", "n_chars_q"]).astype(
+        {"q": "float64", "n_chars_q": "int64"}
+    )
+
+
+def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
+    """Unigram language-model quality score — the train-then-apply pattern:
+    pass 1 trains word counts over the corpus (per-batch partial counts →
+    one groupby bounded by DISTINCT words, then a distributed
+    sort-by-count/limit keeps the top `vocab_size`), the tiny vocab +
+    total-token count broadcast via ray.put; pass 2 scores every doc as the
+    mean ln p(word) with OOV mass 1/total, fully vectorized
+    (list-flatten → Series.map → segmented mean via np.add.at).  The SQL
+    oracle retrains the same model in CTEs, so this is exact, not
+    dump-backed."""
+
+    def tokens_of(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch.column("text"))),
+            r"\s+",
+        )
+        words = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        return words, parents, keep
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        words, _parents, keep = tokens_of(batch)
+        vc = pd.Series(words.to_pandas()[keep]).value_counts()
+        return pa.table(
+            {"w": pa.array(vc.index, pa.string()),
+             "c": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("w", num_partitions=default_partitions())
+        .sum("c")
+    )
+    # total over ALL words: tiny combiner-tree sum, no extra corpus pass
+    total = int(
+        counts.map_batches(
+            lambda b: pa.table(
+                {"t": pa.array([pc.sum(b.column("sum(c)")).as_py() or 0],
+                               pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("t")
+    )
+    vocab = (
+        counts.sort(["sum(c)", "w"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    logp = pd.Series(
+        np.log(vocab["sum(c)"].to_numpy(dtype=np.float64) / total),
+        index=vocab["w"],
+    )
+    model_ref = ray.put((logp, float(np.log(1.0 / total))))
+
+    class Score:
+        def __init__(self) -> None:
+            self.logp, self.oov = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words, parents, keep = tokens_of(batch)
+            lp = (
+                pd.Series(words.to_pandas()[keep])
+                .map(self.logp)
+                .fillna(self.oov)
+                .to_numpy(dtype=np.float64)
+            )
+            par = parents[keep]
+            n = len(batch)
+            sums = np.zeros(n, np.float64)
+            cnts = np.zeros(n, np.int64)
+            np.add.at(sums, par, lp)
+            np.add.at(cnts, par, 1)
+            has = cnts > 0
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
+            avg = np.round(sums[has] / cnts[has], 4)
+            return pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "avg_logprob": pa.array(avg, pa.float64())}
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))

@@ -360,3 +360,45 @@ def audio_features_expected(docs_parquet: str) -> pd.DataFrame:
     for c in ("n_samples", "sample_rate", "duration_ms", "zero_crossings", "peak"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def video_frames_expected(docs_parquet: str, stride: int = 2) -> pd.DataFrame:
+    """Expected stride-sampled frame rows for the synth corpus's media
+    spans, through an INDEPENDENT netpbm scanner: a regex header match +
+    stdlib-only byte walk (vs the engine's incremental field parser in
+    multimodal.split_netpbm_frames / decode_netpbm), with pixel sums
+    computed by plain Python ints over the raw bytes."""
+    import re
+
+    from ..pipelines.multimodal import synth_video_for_ref
+
+    header = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+    def scan(payload: bytes) -> list[int]:
+        sums = []
+        i = 0
+        while i < len(payload):
+            m = header.match(payload[i:])
+            if not m:
+                break
+            w, h, _maxval = (int(g) for g in m.groups())
+            start = i + m.end()
+            end = start + w * h * 3
+            sums.append(sum(payload[start:end]))
+            i = end
+        return sums
+
+    t = pq.read_table(docs_parquet, columns=["doc_id", "spans"])
+    rows = []
+    for doc_id, spans in zip(
+        t.column("doc_id").to_pylist(), t.column("spans").to_pylist()
+    ):
+        for s in spans:
+            if s["kind"] != "media":
+                continue
+            for k, psum in enumerate(scan(synth_video_for_ref(s["media_ref"]))):
+                if k % stride:
+                    continue
+                rows.append((f"{doc_id}#{s['offset']}", k, psum))
+    df = pd.DataFrame(rows, columns=["media_id", "frame_no", "pixel_sum"])
+    return df.astype({"frame_no": "int64", "pixel_sum": "int64"})

@@ -484,3 +484,99 @@ def test_stratified_sample_deterministic(ray_session):
     a = got.sort_values(["doc_id"]).reset_index(drop=True)
     b = again.sort_values(["doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_matches_duckdb_and_tiebreak(ray_session):
+    """Bucketed merge_asof == correlated-subquery SQL on sf0.001, including
+    the exact-timestamp tie-break (max event_id among equal ts)."""
+    import duckdb
+
+    from osm_wikidata_ray.pipelines.training_data import asof_join_events
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        asof_join_events(sf)
+        .sort(["purchase_id"])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        WITH events AS (SELECT * FROM read_parquet('{sf}/events.parquet'))
+        SELECT p.event_id AS purchase_id, p.user_id,
+               coalesce(
+                 (SELECT c.event_id FROM events c
+                  WHERE c.user_id = p.user_id
+                    AND c.event_type = 'click' AND c.ts <= p.ts
+                  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1),
+                 -1) AS click_id
+        FROM events p WHERE p.event_type = 'purchase'
+        ORDER BY purchase_id
+    """).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # explicit tie-break: two clicks at the purchase's exact ts → max id
+    t0 = pd.Timestamp("2025-01-01 12:00:00")
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": t0, "event_type": "click"},
+        {"event_id": 2, "user_id": 7, "ts": t0, "event_type": "click"},
+        {"event_id": 3, "user_id": 7, "ts": t0, "event_type": "purchase"},
+        {"event_id": 4, "user_id": 8, "ts": t0, "event_type": "purchase"},
+    ]
+    import pyarrow.parquet as pq
+    import tempfile, os, pyarrow as pa_mod
+
+    d = tempfile.mkdtemp()
+    pq.write_table(pa_mod.Table.from_pylist(rows), os.path.join(d, "events.parquet"))
+    out = asof_join_events(d).to_pandas().set_index("purchase_id")
+    assert out.loc[3, "click_id"] == 2  # max event_id among equal-ts clicks
+    assert out.loc[4, "click_id"] == -1  # no click for that user
+
+
+def test_group_topk_matches_duckdb(ray_session):
+    import duckdb
+
+    from osm_wikidata_ray.pipelines.training_data import group_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        group_topk(sf, k=3)
+        .sort(["source", "doc_id"])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM read_parquet('{sf}/documents.parquet'))
+        WHERE rn <= 3 ORDER BY source, doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_video_frames_matches_independent_scanner(ray_session, tmp_path):
+    """Engine frame sampling (incremental netpbm parser, actor pool) ==
+    the serial regex-scanner oracle: same sampled frame set, same
+    integer-exact pixel sums."""
+    from osm_wikidata_ray.pipelines.multimodal import video_frames
+    from osm_wikidata_ray.sources.synth import write_corpus_parquet
+    from osm_wikidata_ray.sources.td_oracle import video_frames_expected
+    from osm_wikidata_ray.util import read_parquet_clean
+
+    path = str(tmp_path / "docs.parquet")
+    write_corpus_parquet(path, None, 120)
+    got = (
+        video_frames(read_parquet_clean(path))
+        .select_columns(["media_id", "frame_no", "pixel_sum"])
+        .sort(["media_id", "frame_no"])
+        .to_pandas()
+    )
+    want = (
+        video_frames_expected(path)
+        .sort_values(["media_id", "frame_no"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
