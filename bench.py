@@ -196,6 +196,24 @@ def run_scaling(sf_dir: str, n_pairs: int = 3) -> None:
     import shutil
     import statistics
 
+    def bandwidth_probe() -> float:
+        """Seconds for a fixed 4M-element random gather — the documented
+        host-noise yardstick (BASELINE.md): this box's effective memory
+        bandwidth swings ~10× between windows, and scaling efficiency
+        anticorrelates with window speed (8 pinned cores saturate the
+        single socket in fast windows).  Recorded per pair so the
+        efficiency numbers carry their window context."""
+        import numpy as _np
+        import time as _time
+
+        rng = _np.random.RandomState(0)
+        src = rng.standard_normal(4_000_000)
+        idx = rng.permutation(4_000_000)
+        t0 = _time.time()
+        for _ in range(3):
+            src = src[idx]
+        return round((_time.time() - t0) / 3, 4)
+
     # 36× the sf corpus: big enough that per-run fixed costs (~10-14 s of
     # stage scheduling + materialize barriers + driver collects) don't eat
     # the parallel fraction; above ~500k docs the shared box's memory
@@ -225,6 +243,7 @@ def run_scaling(sf_dir: str, n_pairs: int = 3) -> None:
 
     pairs = []
     for i in range(max(1, n_pairs)):
+        probe_s = bandwidth_probe()
         order = (8, 32) if i % 2 == 0 else (32, 8)
         res = {cpus: leg(cpus) for cpus in order}
         r8, r32 = res[8], res[32]
@@ -233,6 +252,7 @@ def run_scaling(sf_dir: str, n_pairs: int = 3) -> None:
             {
                 "efficiency": round(speedup / (32 / 8), 3),
                 "speedup": round(speedup, 3),
+                "bandwidth_probe_s": probe_s,
                 "docs_per_sec_8": r8["docs_per_sec"],
                 "docs_per_sec_32": r32["docs_per_sec"],
                 "pairs_per_sec_8": r8["pairs_per_sec"],

@@ -113,10 +113,11 @@ def run_linkage(
         n_parts = default_partitions()
         thin_pairs = (
             exploded.map_batches(
-                lambda b: blocking.add_bucket(b, "block_key", n_parts * 4),
+                blocking.thin_exchange_cols,
+                fn_kwargs={"n_buckets": n_parts * 4},
                 batch_format="pyarrow",
             )
-            .groupby("bucket", num_partitions=n_parts)
+            .groupby("bucket_part", num_partitions=n_parts)
             .map_groups(blocking.emit_pairs_bucket, batch_format="pandas")
         )
         # shuffle stages are barriers; materializing between them keeps the

@@ -184,6 +184,34 @@ def add_bucket_int(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
     return batch.append_column("bucket_part", buckets)
 
 
+def thin_exchange_cols(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Swap the string (block_key, side) columns for an int64 key hash and
+    a bool side flag right before the blocking exchange: the all-to-all
+    ships roughly half the bytes (the exchange is the pipeline's
+    bandwidth-bound stage) and the per-bucket factorize runs on int64
+    instead of Python strings.  Key identity becomes hash-based — a 64-bit
+    collision can only ADD a candidate pair (two unrelated keys sharing a
+    group), which the scorer then rejects like any other non-match, so
+    recall is unaffected (same argument as the in-bucket pair dedup).
+
+    ONE pass: the bucket id reuses the same hash (no second string hash, no
+    extra map_batches operator between thinning and bucketing)."""
+    kh = _hash_column(batch.column("block_key"))
+    mixed = (kh * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    return pa.table(
+        {
+            "key_hash": pa.array(kh.view(np.int64), pa.int64()),
+            "is_wd": pc.equal(batch.column("side"), "wd"),
+            "entity_key": batch.column("entity_key"),
+            "lat": batch.column("lat"),
+            "lon": batch.column("lon"),
+            "max_dist_m": batch.column("max_dist_m"),
+            "is_point": batch.column("is_point"),
+            "bucket_part": pa.array((mixed % n_buckets).astype(np.int32)),
+        }
+    )
+
+
 def emit_pairs_bucket(bucket: pd.DataFrame) -> pa.Table:
     """One hash bucket of block keys → thin pair rows, deduped within the
     bucket.  Fully vectorized: the per-key loop only slices numpy index
@@ -193,9 +221,8 @@ def emit_pairs_bucket(bucket: pd.DataFrame) -> pa.Table:
     Per (wd, key) cap of CANDIDATE_LIMIT nearest (deterministic
     (dist, osm_uid) tie-break); the union-then-cap at the scorer reproduces
     the reference's global `order by dist limit 50` (matcher.py:306)."""
-    side = bucket["side"].to_numpy()
-    is_wd = side == "wd"
-    codes, _uniques = pd.factorize(bucket["block_key"], sort=False)
+    is_wd = bucket["is_wd"].to_numpy()
+    codes, _uniques = pd.factorize(bucket["key_hash"], sort=False)
     # semi-filter: keys present on BOTH sides (vectorized bincount)
     n_keys = codes.max() + 1 if len(codes) else 0
     wd_count = np.bincount(codes[is_wd], minlength=n_keys)
