@@ -114,10 +114,10 @@ def run_linkage(
         thin_pairs = (
             exploded.map_batches(
                 blocking.thin_exchange_cols,
-                fn_kwargs={"n_buckets": n_parts * 4},
+                fn_kwargs={"n_buckets": n_parts * 8},
                 batch_format="pyarrow",
             )
-            .groupby("bucket_part", num_partitions=n_parts)
+            .groupby("bucket_part", num_partitions=n_parts * 2)
             .map_groups(blocking.emit_pairs_bucket, batch_format="pandas")
         )
         # shuffle stages are barriers; materializing between them keeps the
