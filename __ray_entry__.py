@@ -417,6 +417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": lambda sf: td.chunk_docs(sf).sort(["doc_id", "chunk_id"]),
         "top_ngrams": lambda sf: td.top_ngrams(sf).sort(["cnt", "ngram"], descending=[True, False]),
         "dedup_exact": lambda sf: td.dedup_exact(sf).sort(["doc_id"]),
+        "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
+            ["doc_a", "doc_b"]
+        ),
         "dedup_minhash": lambda sf: td.dedup_minhash(sf).sort(["doc_a", "doc_b"]),
         "dedup_ngram_jaccard": lambda sf: td.dedup_ngram_jaccard(sf).sort(
             ["doc_a", "doc_b"]
@@ -723,6 +726,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # exact passage dedup: the oracle joins 16-token window TEXT at
+        # stride-8 offsets (the engine joins 64-bit hashes of the same
+        # windows — collision odds ≈ n²/2⁶⁵, disclosed); df > 16 windows are
+        # boilerplate and cut on both sides
+        "dedup_passages": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(
+                         0, CAST(floor((len(t) - 16) / 8.0) AS BIGINT))) AS p
+              FROM toks WHERE len(t) >= 16
+            ), w AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[p * 8 + 1 : p * 8 + 16], ' ') AS win
+              FROM pos
+            ), keep AS (
+              SELECT win FROM w GROUP BY win
+              HAVING count(*) BETWEEN 2 AND 16
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM w a JOIN keep USING (win) JOIN w b USING (win)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY doc_a, doc_b
         """,
         # exact all-pairs word-3-gram Jaccard ≥ 0.8 — the engine's LSH
         # candidate stage recalls these with P[miss] ≈ (1-J⁴)¹⁶ ≤ 2e-4 at

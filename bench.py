@@ -106,7 +106,8 @@ def run_linkage_bench(
 TRAINING_BENCHES = [
     "doc_stats", "token_counts", "quality", "lang_id", "doc_fingerprint",
     "chunk_docs", "top_ngrams", "stratified_sample",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_exact", "dedup_passages", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_embedding_cosine", "dedup_embedding_exact",
     "ann_topk", "q_pricing_summary", "q_top_customers", "q_events_by_type",
     "q_shipping_priority", "q_asof_join", "q_group_topk",

@@ -1966,3 +1966,122 @@ def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
             )
 
     return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def dedup_passages(
+    sf_dir: str, window: int = 16, stride: int = 8, max_df: int = 16
+) -> "ray.data.Dataset":
+    """EXACT substring (passage) dedup: documents sharing a verbatim
+    `window`-token span at any `stride`-aligned offset — the passage-level
+    complement to the doc-level near-dup ops (the repeated-boilerplate /
+    copied-paragraph case that Jaccard-style whole-doc similarity misses).
+
+    Scale shape: window text is position-vectorized per batch (one
+    list_slice + binary_join kernel per offset, as in chunk_docs) and
+    hashes to int64 BEFORE the exchange, so the all-to-all ships
+    (whash, doc_id) only; all rows of one window land in one hash bucket,
+    where (whash, doc) dedup, the document-frequency cut and the pair
+    fan-out all happen locally; a final small groupby sums shared-window
+    counts per pair.  Windows shared by more than `max_df` docs are
+    boilerplate, dropped identically in the SQL oracle — which also bounds
+    the per-window quadratic fan-out.  A 64-bit window-hash collision
+    (engine joins hashes, the oracle joins window TEXT) needs two distinct
+    windows of the corpus to collide: P ≈ n²/2⁶⁵ — negligible, disclosed."""
+
+    def windows(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [("whash", pa.int64()), ("doc_id", pa.int64())]
+            ).empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hashes: list[np.ndarray] = []
+        docs: list[np.ndarray] = []
+        ci = 0
+        while True:
+            start = ci * stride
+            idx = np.flatnonzero(n_tokens >= start + window)  # full windows only
+            if idx.size == 0:
+                break
+            sub = toks.take(pa.array(idx)) if idx.size < len(batch) else toks
+            text = pc.binary_join(pc.list_slice(sub, start, start + window), " ")
+            h = pd.util.hash_array(
+                text.to_numpy(zero_copy_only=False), categorize=False
+            ).view(np.int64)
+            hashes.append(h)
+            docs.append(doc_ids[idx])
+            ci += 1
+        if not hashes:
+            return pa.schema(
+                [("whash", pa.int64()), ("doc_id", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {"whash": pa.array(np.concatenate(hashes), pa.int64()),
+             "doc_id": pa.array(np.concatenate(docs), pa.int64())}
+        )
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
+    )
+
+    def bucket_pairs(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.drop_duplicates(["whash", "doc_id"])
+        codes, _ = pd.factorize(df["whash"], sort=False)
+        docs = df["doc_id"].to_numpy()
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        )
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        for gi, start in enumerate(starts):
+            stop = starts[gi + 1] if gi + 1 < len(starts) else len(order)
+            k = stop - start
+            if k < 2 or k > max_df:  # df cut: boilerplate windows drop
+                continue
+            ds_ = np.sort(docs[order[start:stop]])
+            iu = np.triu_indices(k, k=1)
+            a_parts.append(ds_[iu[0]])
+            b_parts.append(ds_[iu[1]])
+        if not a_parts:
+            return out_schema.empty_table()
+        pairs = pd.DataFrame(
+            {"doc_a": np.concatenate(a_parts), "doc_b": np.concatenate(b_parts)}
+        )
+        # partial per-bucket aggregation before the tiny final groupby
+        agg = pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
+        return pa.table(
+            {"doc_a": pa.array(agg["doc_a"].to_numpy(), pa.int64()),
+             "doc_b": pa.array(agg["doc_b"].to_numpy(), pa.int64()),
+             "n_shared": pa.array(agg["size"].to_numpy(), pa.int64())},
+            schema=out_schema,
+        )
+
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+    partials = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(windows, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "whash", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    agg = partials.groupby(["doc_a", "doc_b"], num_partitions=8).sum("n_shared")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b"),
+             "n_shared": b.column("sum(n_shared)")},
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    )

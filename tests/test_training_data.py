@@ -580,3 +580,43 @@ def test_video_frames_matches_independent_scanner(ray_session, tmp_path):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_passages_matches_duckdb(ray_session):
+    """Passage-level exact dedup (hash-joined 16-token windows) == the
+    text-equality SQL self-join on sf0.001, including the df>16
+    boilerplate cut."""
+    import duckdb
+
+    from osm_wikidata_ray.pipelines.training_data import dedup_passages
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        dedup_passages(sf)
+        .sort(["doc_a", "doc_b"])
+        .to_pandas()
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    want = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM read_parquet('{sf}/documents.parquet')
+        ), pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(
+                     0, CAST(floor((len(t) - 16) / 8.0) AS BIGINT))) AS p
+          FROM toks WHERE len(t) >= 16
+        ), w AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[p * 8 + 1 : p * 8 + 16], ' ') AS win
+          FROM pos
+        ), keep AS (
+          SELECT win FROM w GROUP BY win HAVING count(*) BETWEEN 2 AND 16
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        FROM w a JOIN keep USING (win) JOIN w b USING (win)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2 ORDER BY doc_a, doc_b
+    """).df().astype("int64")
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
