@@ -171,11 +171,11 @@ def attach_osm_payloads(
     )
     return (
         unioned.map_batches(
-            lambda b: add_bucket_int(b, "join_key", n_parts * 4),
+            lambda b: add_bucket_int(b, "join_key", n_parts * 8),
             batch_format="pyarrow",
         )
         .repartition(n_parts)  # coalesce tiny union blocks before the sort
-        .groupby("bucket_part", num_partitions=n_parts)
+        .groupby("bucket_part", num_partitions=n_parts * 2)
         .map_groups(_attach_osm_bucket, batch_format="pandas")
     )
 
@@ -433,11 +433,11 @@ def score_attached_pairs(
     )
     return (
         unioned.map_batches(
-            lambda b: add_bucket_int(b, "join_key", n_parts * 4),
+            lambda b: add_bucket_int(b, "join_key", n_parts * 8),
             batch_format="pyarrow",
         )
         .repartition(n_parts)  # coalesce tiny union blocks before the sort
-        .groupby("bucket_part", num_partitions=n_parts)
+        .groupby("bucket_part", num_partitions=n_parts * 2)
         .map_groups(
             scorer_task,
             fn_kwargs={
