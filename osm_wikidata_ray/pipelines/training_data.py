@@ -1613,28 +1613,26 @@ def shipping_priority(
          ("revenue", pa.float64()), ("is_order", pa.bool_())]
     )
 
-    class OrderSide:
-        """Actor stage: the broadcast custkey set loads once per actor."""
-
-        def __init__(self) -> None:
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.less(
-                batch.column("o_orderdate"), pa.scalar(cutoff_ts)
-            ).to_numpy(zero_copy_only=False)
-            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            # semi-join against the broadcast sorted key array
-            mask &= np.isin(ck, self.keys)
-            t = batch.filter(pa.array(mask))
-            m = len(t)
-            return pa.table(
-                {"orderkey": t.column("o_orderkey"),
-                 "o_orderdate": t.column("o_orderdate"),
-                 "revenue": pa.nulls(m, pa.float64()),
-                 "is_order": pa.array(np.ones(m, dtype=bool))},
-                schema=union_schema,
-            )
+    def order_side(batch: pa.Table) -> pa.Table:
+        """Task stage: ray.get on the broadcast key set is a shared-memory
+        read after the first task per node (no actor-pool ramp — an actor
+        pool here cost more in startup than the state it cached)."""
+        keys = ray.get(keys_ref)
+        mask = pc.less(
+            batch.column("o_orderdate"), pa.scalar(cutoff_ts)
+        ).to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        # semi-join against the broadcast sorted key array
+        mask &= np.isin(ck, keys)
+        t = batch.filter(pa.array(mask))
+        m = len(t)
+        return pa.table(
+            {"orderkey": t.column("o_orderkey"),
+             "o_orderdate": t.column("o_orderdate"),
+             "revenue": pa.nulls(m, pa.float64()),
+             "is_order": pa.array(np.ones(m, dtype=bool))},
+            schema=union_schema,
+        )
 
     def line_side(batch: pa.Table) -> pa.Table:
         t = batch.filter(
@@ -1655,7 +1653,7 @@ def shipping_priority(
 
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(OrderSide, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(order_side, batch_format="pyarrow")
     lines = _read(
         sf_dir, "lineitem",
         ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
