@@ -33,6 +33,8 @@ from ..util import (
 )
 
 PUNCT_RE = "[^a-zA-Z0-9 ]"  # shared with the SQL oracle — keep in sync
+# per-worker-process cache for broadcast lookup state in task stages
+_enrich_cache: dict = {}
 _STOPWORDS = (
     "the of and a an in on to is are was were for with as by at it this that "
     "from or be not have has had but they you we he she i"
@@ -1396,27 +1398,33 @@ def top_customers(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
     }
     cust_ref = ray.put(cust_map)
 
-    class Enrich:
-        def __init__(self) -> None:
+    def enrich(batch: pa.Table) -> pa.Table:
+        # task stage with a per-process cache of the broadcast lookup
+        # Series (an actor pool here spent more on ramp than the cached
+        # state saved; ray.get is shared-memory after the first task).
+        # Two hash-backed Series for vectorized .map — dict lookups per
+        # row in Python were this stage's only row loop.
+        state = _enrich_cache.get(cust_ref.hex())
+        if state is None:
             cust = ray.get(cust_ref)
-            # two hash-backed Series for vectorized .map (dict lookups per
-            # row in Python were this stage's only row loop)
             keys = np.fromiter(cust.keys(), dtype=np.int64, count=len(cust))
-            self.names = pd.Series([v[0] for v in cust.values()], index=keys)
-            self.nations = pd.Series([v[1] for v in cust.values()], index=keys)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_numpy()
-            return pa.table(
-                {
-                    "c_name": pa.array(self.names.reindex(keys, fill_value="")),
-                    "n_name": pa.array(self.nations.reindex(keys, fill_value="")),
-                    "o_totalprice": batch.column("o_totalprice"),
-                }
+            state = (
+                pd.Series([v[0] for v in cust.values()], index=keys),
+                pd.Series([v[1] for v in cust.values()], index=keys),
             )
+            _enrich_cache[cust_ref.hex()] = state
+        names, nations = state
+        keys = batch.column("o_custkey").to_numpy()
+        return pa.table(
+            {
+                "c_name": pa.array(names.reindex(keys, fill_value="")),
+                "n_name": pa.array(nations.reindex(keys, fill_value="")),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        Enrich, batch_format="pyarrow", concurrency=(1, 4)
+        enrich, batch_format="pyarrow"
     )
     agg = ds.groupby(["c_name", "n_name"], num_partitions=default_partitions()).sum("o_totalprice")
 
