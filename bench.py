@@ -9,9 +9,11 @@ JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "pairs_scored": P, "pairs_per_sec": R}
 
---scaling runs the linkage headline twice in fresh processes (num_cpus=8 and
-num_cpus=32) on the same input and reports both throughputs plus the scaling
-efficiency (sandbox proxy for the N→4N-node criterion; BASELINE.md).
+--scaling runs the linkage headline at two CPU counts (default 8 and 32,
+override with --legs, e.g. --legs 4,16 to stay inside the socket's linear
+region) in fresh taskset-pinned processes on the same input and reports
+both throughputs plus the scaling efficiency (sandbox proxy for the
+N→4N-node criterion; BASELINE.md has the contention analysis).
 """
 
 from __future__ import annotations
@@ -134,7 +136,11 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--pairs", type=int, default=3,
-                        help="alternating (8,32) pairs per --scaling run")
+                        help="alternating (small,large) pairs per --scaling run")
+    parser.add_argument("--legs", default="8,32",
+                        help="comma CPU counts for --scaling legs, e.g. 4,16 "
+                             "(both below the socket's ~16-core bandwidth "
+                             "saturation point — see BASELINE.md)")
     parser.add_argument("--linkage-only", action="store_true")
     parser.add_argument("--n-docs", type=int, default=None)
     # linkage leg defaults to best-of-2: the first run pays scorer actor-pool
@@ -148,7 +154,8 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        run_scaling(sf_dir, args.pairs)
+        small, large = (int(x) for x in args.legs.split(","))
+        run_scaling(sf_dir, args.pairs, small, large)
         return
 
     _init_ray(num_cpus)
@@ -182,9 +189,11 @@ def main() -> None:
     ray.shutdown()
 
 
-def run_scaling(sf_dir: str, n_pairs: int = 3) -> None:
-    """Same linkage job at num_cpus=8 vs 32 in fresh processes — the
-    sandbox proxy for the N→4N-node cluster-size criterion.
+def run_scaling(
+    sf_dir: str, n_pairs: int = 3, small: int = 8, large: int = 32
+) -> None:
+    """Same linkage job at num_cpus=small vs large in fresh processes —
+    the sandbox proxy for the N→4N-node cluster-size criterion.
 
     Experimental design (BASELINE.md has the noise analysis): this shared
     host's memory bandwidth swings ~10× between windows and throttles the
@@ -231,10 +240,10 @@ def run_scaling(sf_dir: str, n_pairs: int = 3) -> None:
             "--n-docs", str(n_docs), "--repeats", "2",
         ]
         if shutil.which("taskset"):
-            # pin the small leg to physical cores 0-7: without pinning the
-            # 8-CPU leg borrows the other cores through Arrow/numpy thread
+            # pin the small leg to its first `cpus` physical cores: without
+            # pinning it borrows the other cores through Arrow/numpy thread
             # pools and the scaling proxy under-reports
-            cmd = ["taskset", "-c", "0-7" if cpus == 8 else "0-31"] + cmd
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
             cmd, capture_output=True, text=True, env=env,
             cwd=os.path.dirname(__file__),
@@ -245,19 +254,19 @@ def run_scaling(sf_dir: str, n_pairs: int = 3) -> None:
     pairs = []
     for i in range(max(1, n_pairs)):
         probe_s = bandwidth_probe()
-        order = (8, 32) if i % 2 == 0 else (32, 8)
+        order = (small, large) if i % 2 == 0 else (large, small)
         res = {cpus: leg(cpus) for cpus in order}
-        r8, r32 = res[8], res[32]
-        speedup = r8["queries"]["linkage"] / r32["queries"]["linkage"]
+        r_s, r_l = res[small], res[large]
+        speedup = r_s["queries"]["linkage"] / r_l["queries"]["linkage"]
         pairs.append(
             {
-                "efficiency": round(speedup / (32 / 8), 3),
+                "efficiency": round(speedup / (large / small), 3),
                 "speedup": round(speedup, 3),
                 "bandwidth_probe_s": probe_s,
-                "docs_per_sec_8": r8["docs_per_sec"],
-                "docs_per_sec_32": r32["docs_per_sec"],
-                "pairs_per_sec_8": r8["pairs_per_sec"],
-                "pairs_per_sec_32": r32["pairs_per_sec"],
+                f"docs_per_sec_{small}": r_s["docs_per_sec"],
+                f"docs_per_sec_{large}": r_l["docs_per_sec"],
+                f"pairs_per_sec_{small}": r_s["pairs_per_sec"],
+                f"pairs_per_sec_{large}": r_l["pairs_per_sec"],
                 "order": "->".join(str(c) for c in order),
             }
         )
@@ -266,15 +275,15 @@ def run_scaling(sf_dir: str, n_pairs: int = 3) -> None:
     print(
         json.dumps(
             {
-                "metric": "linkage throughput scaling 8→32 CPUs",
+                "metric": f"linkage throughput scaling {small}→{large} CPUs",
                 "value": round(efficiency, 3),
                 "unit": "efficiency",
                 "sf": _sf(sf_dir),
-                "docs_per_sec_8": statistics.median(
-                    p["docs_per_sec_8"] for p in pairs
+                f"docs_per_sec_{small}": statistics.median(
+                    p[f"docs_per_sec_{small}"] for p in pairs
                 ),
-                "docs_per_sec_32": statistics.median(
-                    p["docs_per_sec_32"] for p in pairs
+                f"docs_per_sec_{large}": statistics.median(
+                    p[f"docs_per_sec_{large}"] for p in pairs
                 ),
                 "n_docs": n_docs,
                 "speedup": statistics.median(p["speedup"] for p in pairs),
