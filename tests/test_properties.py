@@ -110,3 +110,51 @@ def test_bbox_chunking():
     south = min(c[0] for c in chunks)
     north = max(c[1] for c in chunks)
     assert south == 50.0 and north == 51.0
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**15), max_value=2**15 - 1),
+        min_size=0, max_size=512,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_lossless(samples, rate):
+    """encode_wav → decode_wav is the identity on mono int16 PCM at any
+    sample rate (the engine decoder; the serial oracle uses stdlib wave)."""
+    import numpy as np
+
+    from osm_wikidata_ray.pipelines.multimodal import decode_wav, encode_wav
+
+    x = np.asarray(samples, dtype=np.int16)
+    out, r = decode_wav(encode_wav(x, rate=rate))
+    assert r == rate
+    assert np.array_equal(out, x)
+
+
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_thin_exchange_hash_identity(keys):
+    """key_hash preserves block-key identity: equal keys hash equal,
+    distinct keys hash distinct (for realistic key-list sizes)."""
+    import pyarrow as pa
+
+    from osm_wikidata_ray.stages.blocking import thin_exchange_cols
+
+    n = len(keys)
+    batch = pa.table(
+        {
+            "block_key": pa.array(keys, pa.string()),
+            "side": pa.array(["wd"] * n),
+            "entity_key": pa.array(list(range(n)), pa.int64()),
+            "lat": pa.array([0.0] * n),
+            "lon": pa.array([0.0] * n),
+            "max_dist_m": pa.array([1.0] * n),
+            "is_point": pa.array([False] * n),
+        }
+    )
+    kh = thin_exchange_cols(batch, n_buckets=13).column("key_hash").to_pylist()
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert (kh[i] == kh[j]) == (keys[i] == keys[j])
