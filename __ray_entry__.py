@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # compare the top-k membership; cosine itself is float32 in the
         # DuckDB oracle and float64 here, so the score column stays internal
+        "embedding_centroids": td.embedding_centroids,
         "ann_topk": lambda sf: td.ann_topk(sf)
         .select_columns(["query_id", "vec_id"])
         .sort(["query_id", "vec_id"]),
@@ -467,6 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["purchase_id"]
         ),
         "q_length_quantiles": td.doc_length_quantiles,
+        "q_group_quantiles": lambda sf: td.group_length_quantiles(sf).sort(
+            ["source", "q"]
+        ),
         "lm_score": lambda sf: td.lm_score(sf).sort(["doc_id"]),
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
@@ -797,6 +801,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
             ORDER BY vec_a, vec_b
         """,
+        # zipped unnests in one SELECT pair positionally in DuckDB
+        "embedding_centroids": """
+            WITH flat AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS v0
+              FROM embeddings)
+            SELECT label, dim, round(avg(v0), 4) AS v
+            FROM flat GROUP BY label, dim ORDER BY label, dim
+        """,
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding
@@ -893,6 +907,11 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]))
                        AS n_chars_q
             FROM documents
+        """,
+        "q_group_quantiles": """
+            SELECT source, unnest([0.5, 0.9]) AS q,
+                   unnest(quantile_disc(n_chars, [0.5, 0.9])) AS n_chars_q
+            FROM documents GROUP BY source ORDER BY source, q
         """,
         "q_asof_join": """
             SELECT p.event_id AS purchase_id, p.user_id,

@@ -113,7 +113,8 @@ TRAINING_BENCHES = [
     "dedup_embedding_cosine", "dedup_embedding_exact",
     "ann_topk", "q_pricing_summary", "q_top_customers", "q_events_by_type",
     "q_shipping_priority", "q_asof_join", "q_group_topk",
-    "q_length_quantiles", "audio_features", "video_frames",
+    "q_length_quantiles", "q_group_quantiles", "embedding_centroids",
+    "lm_score", "audio_features", "video_frames",
 ]
 
 

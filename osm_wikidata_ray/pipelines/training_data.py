@@ -2091,3 +2091,83 @@ def dedup_passages(
         ),
         batch_format="pyarrow",
     )
+
+
+def group_length_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)
+) -> "ray.data.Dataset":
+    """EXACT discrete quantiles PER STRATUM (source): a (source, n_chars)
+    value-domain histogram — one groupby bounded by strata × distinct
+    lengths — then a vectorized per-group rank walk inside a second tiny
+    grouped stage.  Same quantile_disc rank rule as doc_length_quantiles
+    (value at rank ceil(q·n), floor rank 1), so the SQL oracle is exact."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    hist = ds.groupby(["source", "n_chars"], num_partitions=8).count()
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("q", pa.float64()),
+         ("n_chars_q", pa.int64())]
+    )
+
+    def walk(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("n_chars")
+        counts = g["count()"].to_numpy()
+        vals = g["n_chars"].to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        rows = {"source": [], "q": [], "n_chars_q": []}
+        for q in qs:
+            rank = max(int(math.ceil(q * total)), 1)
+            v = vals[np.searchsorted(cum, rank, side="left")]
+            rows["source"].append(g["source"].iloc[0])
+            rows["q"].append(float(q))
+            rows["n_chars_q"].append(int(v))
+        return pa.Table.from_pydict(rows, schema=out_schema)
+
+    # strata count is small; the histogram is tiny after the first groupby
+    return hist.groupby("source", num_partitions=8).map_groups(
+        walk, batch_format="pandas"
+    )
+
+
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid — the embedding-aggregate pattern
+    (class prototypes for a labeled corpus): per-batch partial sums per
+    label (one matmul-free np.add.at per batch), a tiny partial table to
+    the driver (labels × batches rows), final mean per label.  Output in
+    long (label, dim, v) form so the SQL oracle's zipped-unnest average
+    compares exactly (both sides round to 4 dp; the summation-order float
+    skew is ~1e-14 against a 5e-5 rounding boundary)."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labels, sort=False)
+        sums = np.zeros((len(uniq), vecs.shape[1]), np.float64)
+        np.add.at(sums, codes, vecs)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"label": pa.array(np.asarray(uniq, dtype=np.int64), pa.int64()),
+             "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg: dict[str, tuple[np.ndarray, int]] = {}
+    for r in parts.itertuples():
+        s, n = agg.get(r.label, (None, 0))
+        v = np.asarray(r.vsum)
+        agg[r.label] = (v if s is None else s + v, n + int(r.n))
+    rows = {"label": [], "dim": [], "v": []}
+    for label in sorted(agg):
+        s, n = agg[label]
+        c = np.round(s / n, 4)
+        rows["label"].extend([int(label)] * len(c))
+        rows["dim"].extend(range(len(c)))
+        rows["v"].extend(c.tolist())
+    return pd.DataFrame(rows).astype(
+        {"label": "int64", "dim": "int64", "v": "float64"}
+    )
