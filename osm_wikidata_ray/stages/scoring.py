@@ -174,7 +174,7 @@ def attach_osm_payloads(
             lambda b: add_bucket_int(b, "join_key", n_parts * 8),
             batch_format="pyarrow",
         )
-        .repartition(n_parts)  # coalesce tiny union blocks before the sort
+        .repartition(n_parts * 2)  # coalesce tiny union blocks before the sort
         .groupby("bucket_part", num_partitions=n_parts * 2)
         .map_groups(_attach_osm_bucket, batch_format="pandas")
     )
@@ -436,7 +436,7 @@ def score_attached_pairs(
             lambda b: add_bucket_int(b, "join_key", n_parts * 8),
             batch_format="pyarrow",
         )
-        .repartition(n_parts)  # coalesce tiny union blocks before the sort
+        .repartition(n_parts * 2)  # coalesce tiny union blocks before the sort
         .groupby("bucket_part", num_partitions=n_parts * 2)
         .map_groups(
             scorer_task,
