@@ -280,10 +280,16 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
 
 
 class LangId:
-    """Stopword/character n-gram language heuristic — actor pool stage.
+    """Stopword language heuristic — actor pool stage, fully vectorized
+    (VERDICT r3 #2 replaced the per-row findall loop with the quality_score
+    kernel shape: one split, one is_in per profile, segmented bincounts).
 
-    Tables compiled once per actor (__init__), batched numpy scoring."""
+    Semantics pinned by the SQL oracle: distinct lowered words among the
+    FIRST 200 `[a-zA-Zäöüßéèàçñáíóú]+` matches per doc; score = overlap
+    with each profile; argmax with dict-order (prio) tie-break; all-zero
+    scores → "unknown".  Profile value_sets compile once per actor."""
 
+    WORD_CAP = 200
     PROFILES = {
         "en": set(_STOPWORDS),
         "de": set("der die das und ist ein eine mit von für nicht auf im den zu".split()),
@@ -292,19 +298,51 @@ class LangId:
     }
 
     def __init__(self) -> None:
-        self.word_re = re.compile(r"[a-zA-Zäöüßéèàçñáíóú]+")
+        # splitting on the complement class yields exactly findall's tokens
+        # (plus empty strings at the edges, masked below)
+        self.split_pat = r"[^a-zA-Zäöüßéèàçñáíóú]+"
+        self.langs = np.array(list(self.PROFILES), dtype=object)
+        self.value_sets = [
+            pa.array(sorted(ws)) for ws in self.PROFILES.values()
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for text in batch.column("text").to_pylist():
-            words = set(w.lower() for w in self.word_re.findall(text or "")[:200])
-            best, best_score = "unknown", 0
-            for lang, profile in self.PROFILES.items():
-                score = len(words & profile)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
-        return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds)})
+        n_docs = len(batch)
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""), self.split_pat
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(n_docs), n_tok)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = doc_idx[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        # [:200] cap over MATCHES: running position within each doc
+        m_counts = np.bincount(doc_idx, minlength=n_docs)
+        starts = np.cumsum(m_counts) - m_counts
+        pos = np.arange(len(doc_idx)) - starts[doc_idx]
+        cap = pos < self.WORD_CAP
+        doc_idx = doc_idx[cap]
+        words = pc.utf8_lower(flat.filter(pa.array(cap)))
+        # distinct (doc, word) — the profiles score a SET of words
+        dd = pd.DataFrame(
+            {"d": doc_idx, "w": words.to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        d = dd["d"].to_numpy()
+        warr = pa.array(dd["w"].to_numpy(), pa.string())
+        scores = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        for j, vs in enumerate(self.value_sets):
+            hit = pc.is_in(warr, value_set=vs).to_numpy(zero_copy_only=False)
+            scores[:, j] = np.bincount(d[hit], minlength=n_docs)
+        best = np.argmax(scores, axis=1)  # first max ⟺ dict-order tie-break
+        preds = self.langs[best].copy()
+        preds[scores.max(axis=1, initial=0) == 0] = "unknown"
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "lang_pred": pa.array(preds, pa.string())}
+        )
 
 
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
@@ -390,13 +428,131 @@ def doc_fingerprint(
 
 # --- deduplication ---
 
-def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
-    """Exact dedup: first doc_id per text (hash-partition groupby-min)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    survivors = ds.groupby("text", num_partitions=default_partitions()).min("doc_id")
-    return survivors.map_batches(
-        lambda b: pa.table({"doc_id": b.column("min(doc_id)")}), batch_format="pyarrow"
+# broadcast guard for dedup_exact's verify pass: candidate doc_ids past this
+# bound skip the ray.put broadcast and attach texts via the bucketed
+# union-merge exchange instead (the adversarial everything-is-duplicated case)
+DEDUP_EXACT_BROADCAST_CAP = 2_000_000
+
+_DEDUP_OUT = pa.schema([("doc_id", pa.int64())])
+
+
+def _dedup_rehash_bucket(docs: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
+    """(doc_id, text) → min doc_id per distinct text, co-locating equal
+    texts by re-hashing the text to an int64 bucket (equal texts share a
+    hash, so one pandas groupby per bucket is an exact per-text groupby)."""
+    from ..stages.blocking import add_bucket
+
+    def verify(bucket: pd.DataFrame) -> pa.Table:
+        agg = bucket.groupby("text", sort=False, dropna=False)["doc_id"].min()
+        return pa.table(
+            {"doc_id": pa.array(agg.to_numpy(), pa.int64())}, schema=_DEDUP_OUT
+        )
+
+    return (
+        docs.map_batches(
+            lambda b: add_bucket(b, "text", n_parts * 4), batch_format="pyarrow"
+        )
+        .groupby("bucket", num_partitions=n_parts)
+        .map_groups(verify, batch_format="pandas")
     )
+
+
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup: min doc_id per distinct text — THIN exchange.
+
+    The r3 form grouped directly on the raw text, shipping every document
+    body as the shuffle KEY (VERDICT r3 #1: the engine's last
+    unbounded-payload exchange).  Now the all-to-all carries
+    (thash int64, doc_id) only: texts hash per batch (pd.util.hash_array —
+    fixed-key siphash, same kernel as dedup_passages) and a bucketed
+    groupby partitions hash groups.  Singleton hashes are unique texts —
+    survivors outright, no text ever shipped.  Multi-doc hashes are
+    duplicate CANDIDATES whose texts are exact-compared in a second pass
+    (killing 64-bit collisions): the candidate doc_id array broadcasts via
+    ray.put (one shared-memory copy, not per-task closure) and a second
+    corpus read ships text bytes for candidate docs ONLY.  Past
+    DEDUP_EXACT_BROADCAST_CAP candidates the broadcast is skipped and
+    texts attach through the bucketed union-merge exchange instead
+    (corpus ships once, as in _attach_by_key)."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+
+    def thin(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        h = pd.util.hash_array(
+            texts.to_numpy(zero_copy_only=False), categorize=False
+        ).view(np.int64)
+        return pa.table(
+            {"thash": pa.array(h, pa.int64()),
+             "doc_id": pc.cast(batch.column("doc_id"), pa.int64())}
+        )
+
+    def classify(bucket: pd.DataFrame) -> pa.Table:
+        sizes = bucket.groupby("thash", sort=False)["doc_id"].transform("size")
+        return pa.table(
+            {"doc_id": pa.array(bucket["doc_id"].to_numpy(), pa.int64()),
+             "is_cand": pa.array((sizes > 1).to_numpy(), pa.bool_())}
+        )
+
+    classified = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(thin, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "thash", n_parts * 4), batch_format="pyarrow"
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(classify, batch_format="pandas")
+        .materialize()  # two consumers (survivors + candidates) below
+    )
+    survivors = classified.filter(expr="is_cand == False").map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}, schema=_DEDUP_OUT),
+        batch_format="pyarrow",
+    )
+    candidates = classified.filter(expr="is_cand == True")
+    n_cand = candidates.count()
+    if n_cand == 0:
+        return survivors
+
+    if n_cand <= DEDUP_EXACT_BROADCAST_CAP:
+        cand_ids = np.sort(
+            np.concatenate(
+                [b["doc_id"] for b in candidates.iter_batches(batch_format="numpy")]
+            )
+        )
+        cand_ref = ray.put(cand_ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            arr = ray.get(cand_ref)  # zero-copy shared-memory view
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(arr, ids)
+            pos_c = np.minimum(pos, len(arr) - 1)
+            return batch.filter(pa.array(arr[pos_c] == ids))
+
+        cand_texts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            pick, batch_format="pyarrow"
+        )
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_exact: %d candidate doc_ids exceed the broadcast cap (%d); "
+            "falling back to the union-merge text attach",
+            n_cand, DEDUP_EXACT_BROADCAST_CAP,
+        )
+        cand_texts = _attach_by_key(
+            candidates.select_columns(["doc_id"]),
+            pa.schema([("doc_id", pa.int64())]),
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            "text",
+            n_parts,
+            pa.string(),
+        )
+
+    verified = _dedup_rehash_bucket(cand_texts, n_parts)
+    return survivors.union(verified)
 
 
 # odd multipliers for position-sensitive trigram combination (any fixed odd

@@ -620,3 +620,34 @@ def test_dedup_passages_matches_duckdb(ray_session):
     """).df().astype("int64")
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_exact_planted_dups_both_branches(ray_session, tmp_path, monkeypatch):
+    """Plant exact duplicates (incl. a doc repeated 3x) and verify both the
+    broadcast verify path and the >cap union-merge fallback agree with the
+    serial answer (min doc_id per distinct text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import osm_wikidata_ray.pipelines.training_data as td
+
+    texts = [f"unique body number {i} with several words" for i in range(30)]
+    rows = [
+        {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
+        for i, t in enumerate(texts)
+    ]
+    rows += [
+        {"doc_id": 100, "text": texts[3], "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 101, "text": texts[3], "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 102, "text": texts[7], "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    want = sorted(range(30))  # min doc_id per distinct text
+
+    got_bcast = sorted(td.dedup_exact(str(tmp_path)).to_pandas()["doc_id"])
+    assert got_bcast == want
+
+    monkeypatch.setattr(td, "DEDUP_EXACT_BROADCAST_CAP", 0)
+    got_attach = sorted(td.dedup_exact(str(tmp_path)).to_pandas()["doc_id"])
+    assert got_attach == want
