@@ -672,13 +672,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": f"""
             SELECT doc_id,
                    length(text) AS n_chars_calc,
-                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_tokens,
                    length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS n_punct
             FROM documents ORDER BY doc_id
         """,
         "token_counts": """
             SELECT source,
-                   sum(array_length(string_split_regex(trim(text), '\\s+')))::BIGINT AS "sum(n_tokens)"
+                   sum(array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')))::BIGINT AS "sum(n_tokens)"
             FROM documents GROUP BY source ORDER BY source
         """,
         "token_counts_bpe": f"""
@@ -693,8 +693,8 @@ def oracle_sql() -> dict[str, str]:
                    length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS n_punct,
                    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_tokens,
+                   len(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                    t -> list_contains({_stopword_list_sql()}, lower(t))))::BIGINT
                        AS n_stop
             FROM documents ORDER BY doc_id
@@ -705,7 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": """
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(trim(text), '\\s+') AS t
+                     string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
               FROM documents
             ), spans AS (
               SELECT doc_id, t,
@@ -721,7 +721,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_ngrams": """
             WITH toks AS (
-              SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+              SELECT string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
             ), pos AS (
               SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
             )
@@ -737,7 +737,7 @@ def oracle_sql() -> dict[str, str]:
         # boilerplate and cut on both sides
         "dedup_passages": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
               FROM documents
             ), pos AS (
               SELECT doc_id, t,
@@ -889,7 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": """
             WITH toks AS (
               SELECT doc_id,
-                     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                     unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
               FROM documents
             ), toks_ne AS (SELECT doc_id, w FROM toks WHERE w <> ''),
             counts AS (SELECT w, count(*) AS c FROM toks_ne GROUP BY w),

@@ -33,6 +33,16 @@ from ..util import (
 )
 
 PUNCT_RE = "[^a-zA-Z0-9 ]"  # shared with the SQL oracle — keep in sync
+# edge-whitespace trim shared with the SQL oracles: both sides run RE2, so
+# `regexp_replace(text, '^\s+|\s+$', '', 'g')` in DuckDB and this kernel are
+# identical by construction (ADVICE r3: Arrow utf8_trim_whitespace trims ALL
+# Unicode whitespace while DuckDB trim() trims spaces only — tab/newline-edged
+# docs would have produced shifted token windows)
+TRIM_PATTERN = r"^\s+|\s+$"
+
+
+def _ws_trim(col):
+    return pc.replace_substring_regex(col, TRIM_PATTERN, "")
 # per-worker-process cache for broadcast lookup state in task stages
 _enrich_cache: dict = {}
 _STOPWORDS = (
@@ -52,7 +62,7 @@ def doc_stats(sf_dir: str) -> "ray.data.Dataset":
 
     def stats(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        trimmed = pc.utf8_trim_whitespace(text)
+        trimmed = _ws_trim(text)
         tokens = pc.split_pattern_regex(trimmed, r"\s+")
         no_punct = pc.replace_substring_regex(text, PUNCT_RE, "")
         return pa.table(
@@ -76,7 +86,7 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
 
     def per_doc(batch: pa.Table) -> pa.Table:
         tokens = pc.list_value_length(
-            pc.split_pattern_regex(pc.utf8_trim_whitespace(batch.column("text")), r"\s+")
+            pc.split_pattern_regex(_ws_trim(batch.column("text")), r"\s+")
         )
         return pa.table({"source": batch.column("source"), "n_tokens": tokens})
 
@@ -140,7 +150,7 @@ def chunk_docs(
         if len(batch) == 0:
             return _CHUNK_SCHEMA.empty_table()
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+            _ws_trim(batch.column("text")), r"\s+"
         )
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -196,7 +206,7 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> "ray.data.Dataset":
         if len(batch) == 0:
             return empty
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+            _ws_trim(batch.column("text")), r"\s+"
         )
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -249,7 +259,7 @@ def quality_score(sf_dir: str) -> "ray.data.Dataset":
         n_digit = pc.subtract(
             n_chars, pc.utf8_length(pc.replace_substring_regex(text, "[0-9]", ""))
         )
-        tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        tokens = pc.split_pattern_regex(_ws_trim(text), r"\s+")
         n_tokens = pc.list_value_length(tokens)
         # stopword count: flatten once, one is_in kernel, segmented sum
         lower_tokens = pc.utf8_lower(pc.list_flatten(tokens))
@@ -651,7 +661,7 @@ def _batch_minhash_sigs(
 
 
 _SIG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])
-_BAND_SCHEMA = pa.schema([("band_key", pa.string()), ("doc_id", pa.int64())])
+_BAND_SCHEMA = pa.schema([("band_key", pa.int64()), ("doc_id", pa.int64())])
 _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 # an exact-duplicate mega-cluster puts every copy in ONE band bucket; an
@@ -683,10 +693,15 @@ def minhash_signatures(sf_dir: str, n_shingle: int = 3) -> "ray.data.Dataset":
 
 
 def minhash_bands(sigs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """THIN band rows (band_key, doc_id) derived from the signature table —
-    signatures do not ride the band shuffle (they attach to surviving
-    candidate pairs afterwards, the same payloads-ship-once pattern as the
-    linkage engine)."""
+    """THIN band rows (band_key int64, doc_id) derived from the signature
+    table — signatures do not ride the band shuffle (they attach to
+    surviving candidate pairs afterwards, the same payloads-ship-once
+    pattern as the linkage engine).  The band id seeds the hash accumulator
+    (acc starts at band+1), so the 64-bit hash alone identifies the
+    (band, rows) bucket — no string key (VERDICT r3 #8: the U20 string keys
+    doubled exchange bytes and forced Python-object hashing downstream); a
+    cross-band hash collision can only ADD a candidate pair, which the
+    estimated-Jaccard / exact verify then rejects."""
     rows = _MINHASH_PERMS // _MINHASH_BANDS
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -705,13 +720,8 @@ def minhash_bands(sigs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
             for r in range(rows):
                 acc = (acc * _SH_C1) ^ (seg[:, r] * _SH_C2)
             band_hash[:, b] = acc
-        band_ids = np.tile(np.arange(_MINHASH_BANDS), n)
-        keys = np.char.add(
-            np.char.add(band_ids.astype("U2"), ":"),
-            band_hash.ravel().astype("U20"),
-        )
         return pa.table(
-            {"band_key": pa.array(keys.tolist(), pa.string()),
+            {"band_key": pa.array(band_hash.ravel().view(np.int64), pa.int64()),
              "doc_id": pa.array(np.repeat(doc_ids, _MINHASH_BANDS), pa.int64())},
             schema=_BAND_SCHEMA,
         )
@@ -823,14 +833,15 @@ def _minhash_candidates(
 ) -> "ray.data.Dataset":
     """Distinct LSH candidate pairs from the thin band shuffle (materialized
     — chained all-to-all stages schedule pathologically, see CLAUDE.md)."""
-    from ..stages.blocking import add_bucket
+    from ..stages.blocking import add_bucket_int
 
     return (
         minhash_bands(sigs_ds)
         .map_batches(
-            lambda b: add_bucket(b, "band_key", n_parts * 4), batch_format="pyarrow"
+            lambda b: add_bucket_int(b, "band_key", n_parts * 4),
+            batch_format="pyarrow",
         )
-        .groupby("bucket", num_partitions=n_parts)
+        .groupby("bucket_part", num_partitions=n_parts)
         .map_groups(_bucket_candidate_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"], num_partitions=n_parts)
         .count()
@@ -1536,52 +1547,146 @@ def _bounded_group_sum(ds: "ray.data.Dataset", keys: list[str], cols: list[str])
     )
 
 
-def top_customers(sf_dir: str, n: int = 10) -> "ray.data.Dataset":
+# broadcast guard for top_customers: customer tables past this row count
+# (read from parquet metadata, no scan) switch to the shipping_priority-style
+# co-partition exchange instead of a driver-side table load + ray.put
+TOP_CUSTOMERS_BROADCAST_CAP = 10_000_000
+
+
+def _top_customers_copartition(
+    sf_dir: str, nation_names: dict, n_parts: int
+) -> "ray.data.Dataset":
+    """orders ⋈ customer via ONE c_custkey-bucketed exchange each (union →
+    groupby bucket), per-bucket partial aggregation — the big-small-side
+    fallback; nation (25 rows) stays a plain dict applied on the customer
+    scan."""
+    from ..stages.blocking import add_bucket_int
+
+    union_schema = pa.schema(
+        [("custkey", pa.int64()), ("c_name", pa.string()),
+         ("n_name", pa.string()), ("o_totalprice", pa.float64()),
+         ("is_cust", pa.bool_())]
+    )
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        nn = (
+            pd.Series(batch.column("c_nationkey").to_numpy(zero_copy_only=False))
+            .map(nation_names)
+            .fillna("")
+            .to_numpy(dtype=object)
+        )
+        return pa.table(
+            {"custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+             "c_name": batch.column("c_name"),
+             "n_name": pa.array(nn, pa.string()),
+             "o_totalprice": pa.nulls(m, pa.float64()),
+             "is_cust": pa.array(np.ones(m, bool))},
+            schema=union_schema,
+        )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        return pa.table(
+            {"custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+             "c_name": pa.nulls(m, pa.string()),
+             "n_name": pa.nulls(m, pa.string()),
+             "o_totalprice": batch.column("o_totalprice"),
+             "is_cust": pa.array(np.zeros(m, bool))},
+            schema=union_schema,
+        )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_c = bucket["is_cust"].to_numpy()
+        c = bucket.loc[is_c, ["custkey", "c_name", "n_name"]]
+        o = bucket.loc[~is_c, ["custkey", "o_totalprice"]]
+        if c.empty or o.empty:
+            return pd.DataFrame(
+                {"c_name": pd.Series(dtype=object),
+                 "n_name": pd.Series(dtype=object),
+                 "o_totalprice": pd.Series(dtype="float64")}
+            )
+        j = o.merge(c.drop_duplicates("custkey"), on="custkey", how="inner")
+        # partial per-bucket aggregate before the tiny final groupby
+        return j.groupby(["c_name", "n_name"], as_index=False)["o_totalprice"].sum()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        cust_side, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        order_side, batch_format="pyarrow"
+    )
+    return (
+        cust.union(orders)
+        .map_batches(
+            lambda b: add_bucket_int(b, "custkey", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+def top_customers(
+    sf_dir: str, n: int = 10, broadcast_cap: int = TOP_CUSTOMERS_BROADCAST_CAP
+) -> "ray.data.Dataset":
     """Broadcast join (small customer/nation side via ray.put) + groupby +
-    top-n — the broadcast-instead-of-shuffle-join pattern."""
+    top-n — the broadcast-instead-of-shuffle-join pattern.  The customer
+    row count is read from parquet METADATA before any load; past
+    ``broadcast_cap`` rows the query switches to the co-partitioned
+    exchange (see _top_customers_copartition) instead of materializing the
+    side on the driver (VERDICT r3 #7)."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nation_names = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
-    cust_map = {
-        k: (name, nation_names.get(nk, ""))
-        for k, name, nk in zip(
-            cust.column("c_custkey").to_pylist(),
-            cust.column("c_name").to_pylist(),
-            cust.column("c_nationkey").to_pylist(),
-        )
-    }
-    cust_ref = ray.put(cust_map)
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
 
-    def enrich(batch: pa.Table) -> pa.Table:
-        # task stage with a per-process cache of the broadcast lookup
-        # Series (an actor pool here spent more on ramp than the cached
-        # state saved; ray.get is shared-memory after the first task).
-        # Two hash-backed Series for vectorized .map — dict lookups per
-        # row in Python were this stage's only row loop.
-        state = _enrich_cache.get(cust_ref.hex())
-        if state is None:
-            cust = ray.get(cust_ref)
-            keys = np.fromiter(cust.keys(), dtype=np.int64, count=len(cust))
-            state = (
-                pd.Series([v[0] for v in cust.values()], index=keys),
-                pd.Series([v[1] for v in cust.values()], index=keys),
+    if n_cust > broadcast_cap:
+        ds = _top_customers_copartition(sf_dir, nation_names, default_partitions())
+    else:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"])
+        cust_map = {
+            k: (name, nation_names.get(nk, ""))
+            for k, name, nk in zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_name").to_pylist(),
+                cust.column("c_nationkey").to_pylist(),
             )
-            _enrich_cache[cust_ref.hex()] = state
-        names, nations = state
-        keys = batch.column("o_custkey").to_numpy()
-        return pa.table(
-            {
-                "c_name": pa.array(names.reindex(keys, fill_value="")),
-                "n_name": pa.array(nations.reindex(keys, fill_value="")),
-                "o_totalprice": batch.column("o_totalprice"),
-            }
-        )
+        }
+        cust_ref = ray.put(cust_map)
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        enrich, batch_format="pyarrow"
-    )
+        def enrich(batch: pa.Table) -> pa.Table:
+            # task stage with a per-process cache of the broadcast lookup
+            # Series (an actor pool here spent more on ramp than the cached
+            # state saved; ray.get is shared-memory after the first task).
+            # Two hash-backed Series for vectorized .map — dict lookups per
+            # row in Python were this stage's only row loop.  The cache
+            # holds ONE entry (cleared before insert) so long-lived workers
+            # don't accumulate stale broadcast state across invocations.
+            state = _enrich_cache.get(cust_ref.hex())
+            if state is None:
+                cust = ray.get(cust_ref)
+                keys = np.fromiter(cust.keys(), dtype=np.int64, count=len(cust))
+                state = (
+                    pd.Series([v[0] for v in cust.values()], index=keys),
+                    pd.Series([v[1] for v in cust.values()], index=keys),
+                )
+                _enrich_cache.clear()
+                _enrich_cache[cust_ref.hex()] = state
+            names, nations = state
+            keys = batch.column("o_custkey").to_numpy()
+            return pa.table(
+                {
+                    "c_name": pa.array(names.reindex(keys, fill_value="")),
+                    "n_name": pa.array(nations.reindex(keys, fill_value="")),
+                    "o_totalprice": batch.column("o_totalprice"),
+                }
+            )
+
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            enrich, batch_format="pyarrow"
+        )
     agg = ds.groupby(["c_name", "n_name"], num_partitions=default_partitions()).sum("o_totalprice")
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -2056,9 +2161,9 @@ def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
     oracle retrains the same model in CTEs, so this is exact, not
     dump-backed."""
 
-    def tokens_of(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    def tokens_of(batch: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.utf8_lower(batch.column("text"))),
+            _ws_trim(pc.utf8_lower(batch.column("text"))),
             r"\s+",
         )
         words = pc.list_flatten(toks)
@@ -2079,6 +2184,10 @@ def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("w", num_partitions=default_partitions())
         .sum("c")
+        # two consumers (total + vocab sort) — without the pin the whole
+        # tokenize+groupby re-executes per consumer, and the barrier keeps
+        # the sort from chaining onto the groupby (CLAUDE.md invariant)
+        .materialize()
     )
     # total over ALL words: tiny combiner-tree sum, no extra corpus pass
     total = int(
@@ -2156,7 +2265,7 @@ def dedup_passages(
                 [("whash", pa.int64()), ("doc_id", pa.int64())]
             ).empty_table()
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+            _ws_trim(batch.column("text")), r"\s+"
         )
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()

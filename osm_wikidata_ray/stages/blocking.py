@@ -190,9 +190,12 @@ def thin_exchange_cols(batch: pa.Table, n_buckets: int) -> pa.Table:
     ships roughly half the bytes (the exchange is the pipeline's
     bandwidth-bound stage) and the per-bucket factorize runs on int64
     instead of Python strings.  Key identity becomes hash-based — a 64-bit
-    collision can only ADD a candidate pair (two unrelated keys sharing a
-    group), which the scorer then rejects like any other non-match, so
-    recall is unaffected (same argument as the in-bucket pair dedup).
+    collision merges two unrelated keys into one group, which normally only
+    ADDS candidate pairs the scorer rejects like any other non-match; the
+    one theoretical interaction is emit_pairs_bucket's per-(wd, key)
+    nearest-CANDIDATE_LIMIT cap, where colliding rows that gate nearer
+    could evict a true candidate — at ~2⁻⁶⁴ per key pair this is a
+    documentation note, not a practical recall risk.
 
     ONE pass: the bucket id reuses the same hash (no second string hash, no
     extra map_batches operator between thinning and bucketing)."""

@@ -30,9 +30,16 @@ from ..util import default_partitions
 from .blocking import add_bucket
 
 
+# broadcast guard: conflict sets past this bound skip the ray.put broadcast
+# and flag conflicts through a uid-bucketed exchange instead (adversarial
+# every-object-multiply-claimed inputs; real corpora stay far below it)
+CONFLICT_BROADCAST_CAP = 5_000_000
+
+
 def resolve_conflicts(
     candidates: "ray.data.Dataset",
     bad_qids: set[str] | None = None,
+    conflict_broadcast_cap: int = CONFLICT_BROADCAST_CAP,
 ) -> "ray.data.Dataset":
     """chosen candidates → accepted pairs after the cross-item 1:1 gate.
 
@@ -50,10 +57,13 @@ def resolve_conflicts(
     when keep_rejects=True) are not stored candidates and are excluded.
 
     The conflict set (OSM objects appearing under >1 item) is tiny by
-    construction — a column-pruned count pass collects it to the driver and
-    broadcasts it into a vectorized map, avoiding a third all-to-all
-    shuffle.  (For a pathological input where the conflict set itself were
-    huge, the count pass still bounds it to distinct multiply-claimed ids.)
+    construction — a column-pruned count pass bounds it to distinct
+    multiply-claimed ids, which ship once into the object store via
+    ray.put (one shared-memory copy; NOT captured in task closures, which
+    would re-serialize per task) and gate a vectorized map, avoiding a
+    third all-to-all shuffle.  Past ``conflict_broadcast_cap`` uids the
+    broadcast is skipped and conflicts are flagged through a uid-bucketed
+    union exchange instead (chosen rows ship once).
     """
     from ray.data.dataset import MaterializedDataset
 
@@ -80,9 +90,37 @@ def resolve_conflicts(
             lambda b: b.filter(pc.greater(b.column("count()"), 1)),
             batch_format="pyarrow",
         )
+        .materialize()  # consumed twice (count + collect/exchange)
     )
-    conflicted = {r["osm_uid"] for r in counts.take_all()}
-    conflicted_np = np.array(sorted(conflicted), dtype=object)
+    n_conf = counts.count()
+
+    if n_conf <= conflict_broadcast_cap:
+        conflicted_np = np.array(
+            sorted(r["osm_uid"] for r in counts.take_all()), dtype=object
+        )
+        conf_ref = ray.put(conflicted_np) if n_conf else None
+
+        def flag_bcast(batch: pa.Table) -> pa.Table:
+            uid = pc.binary_join_element_wise(
+                batch.column("osm_type"),
+                pc.cast(batch.column("osm_id"), pa.string()), "/",
+            ).to_numpy(zero_copy_only=False)
+            if conf_ref is None:
+                mask = np.zeros(len(uid), bool)
+            else:
+                mask = np.isin(uid, ray.get(conf_ref))
+            return batch.append_column("in_conflict", pa.array(mask, pa.bool_()))
+
+        flagged = chosen.map_batches(flag_bcast, batch_format="pyarrow")
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "resolve_conflicts: %d conflicted uids exceed the broadcast cap "
+            "(%d); flagging via the uid-bucketed exchange", n_conf,
+            conflict_broadcast_cap,
+        )
+        flagged = _flag_conflicts_exchange(chosen, candidates.schema(), counts)
 
     bad = bad_qids or set()
     bad_np = np.array(sorted(bad), dtype=object)
@@ -90,17 +128,12 @@ def resolve_conflicts(
     def gate(batch: pa.Table) -> pa.Table:
         # vectorized precedence chain (matcher.py:1445-1447, 1473-1475):
         # bad qid > 1:1 conflict > already tagged > accepted
-        uid = pc.binary_join_element_wise(
-            batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
-        ).to_numpy(zero_copy_only=False)
         qids = batch.column("qid").to_numpy(zero_copy_only=False)
         already = batch.column("already_tagged").to_numpy(zero_copy_only=False)
         notes = batch.column("note").to_numpy(zero_copy_only=False).copy()
+        in_conflict = batch.column("in_conflict").to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns(["in_conflict"])
         is_bad = np.isin(qids, bad_np) if len(bad_np) else np.zeros(len(qids), bool)
-        in_conflict = (
-            np.isin(uid, conflicted_np)
-            if len(conflicted_np) else np.zeros(len(uid), bool)
-        )
         notes[~is_bad & in_conflict] = "OSM candidate matches multiple Wikidata items"
         notes[~is_bad & ~in_conflict & already] = "candidate already tagged"
         notes[is_bad] = "has bad match"
@@ -110,7 +143,61 @@ def resolve_conflicts(
         )
         return batch.append_column("accepted", pa.array(accepted, pa.bool_()))
 
-    return chosen.map_batches(gate, batch_format="pyarrow")
+    return flagged.map_batches(gate, batch_format="pyarrow")
+
+
+def _flag_conflicts_exchange(
+    chosen: "ray.data.Dataset",
+    chosen_schema,
+    counts: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Adversarial-scale fallback for resolve_conflicts: append in_conflict
+    to every chosen row via ONE uid-bucketed union exchange (chosen rows
+    ship once, conflict uids ship once) — no driver-side collect, no
+    broadcast.  All-Arrow in-bucket (is_in against the bucket's conflict
+    uids), so nested payload columns never round-trip through pandas."""
+    base: pa.Schema = getattr(chosen_schema, "base_schema", chosen_schema)
+    pair_cols = list(base.names)
+    out_schema = base.append(pa.field("in_conflict", pa.bool_()))
+
+    def tag_chosen(batch: pa.Table) -> pa.Table:
+        uid = pc.binary_join_element_wise(
+            batch.column("osm_type"), pc.cast(batch.column("osm_id"), pa.string()), "/"
+        )
+        return batch.append_column("uid", uid).append_column(
+            "kind", pa.array(["p"] * len(batch))
+        )
+
+    def tag_conf(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {c: pa.nulls(n, base.field(c).type) for c in pair_cols}
+        cols["uid"] = batch.column("osm_uid")
+        cols["kind"] = pa.array(["c"] * n)
+        return pa.table({c: cols[c] for c in [*pair_cols, "uid", "kind"]})
+
+    def mark(bucket: pa.Table) -> pa.Table:
+        kind = bucket.column("kind")
+        conf_uids = bucket.filter(pc.equal(kind, "c")).column("uid")
+        p = bucket.filter(pc.equal(kind, "p"))
+        if len(conf_uids) == 0:
+            mask = pa.array(np.zeros(len(p), bool))
+        else:
+            mask = pc.is_in(p.column("uid"), value_set=pc.unique(conf_uids))
+        return p.select(pair_cols).append_column(
+            "in_conflict", pc.cast(mask, pa.bool_())
+        ).cast(out_schema)
+
+    unioned = chosen.map_batches(tag_chosen, batch_format="pyarrow").union(
+        counts.map_batches(tag_conf, batch_format="pyarrow")
+    )
+    n_parts = default_partitions()
+    return (
+        unioned.map_batches(
+            lambda b: add_bucket(b, "uid", n_parts * 4), batch_format="pyarrow"
+        )
+        .groupby("bucket", num_partitions=n_parts)
+        .map_groups(mark, batch_format="pyarrow")
+    )
 
 
 def accepted_pairs(resolved: "ray.data.Dataset") -> "ray.data.Dataset":

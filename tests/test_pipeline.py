@@ -501,3 +501,55 @@ def test_thin_exchange_cols(ray_session):
     # stability is pinned by pd.util.hash_array's fixed siphash key)
     again = blocking.thin_exchange_cols(batch, n_buckets=7)
     assert again.column("key_hash").to_pylist() == kh
+
+
+def test_resolve_conflicts_exchange_fallback_matches_broadcast(linkage_result):
+    """Forcing the >cap uid-bucketed exchange path must reproduce the
+    broadcast gate exactly (same accepted set, same notes)."""
+    from osm_wikidata_ray.stages.clustering import resolve_conflicts
+
+    cols = ["qid", "osm_type", "osm_id", "note", "accepted"]
+    base = (
+        resolve_conflicts(linkage_result.candidates)
+        .to_pandas()[cols]
+        .sort_values(cols[:3])
+        .reset_index(drop=True)
+    )
+    # cap below any possible conflict-set size → exchange branch
+    alt = (
+        resolve_conflicts(linkage_result.candidates, conflict_broadcast_cap=-1)
+        .to_pandas()[cols]
+        .sort_values(cols[:3])
+        .reset_index(drop=True)
+    )
+    assert len(base) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, alt)
+
+
+def test_resolve_conflicts_exchange_flags_conflict(ray_session):
+    """A multiply-claimed OSM object is rejected on BOTH gate paths
+    (broadcast and uid-bucketed exchange) with the same note."""
+    import random
+
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+    from osm_wikidata_ray.sources.synth import _Scenario
+    from osm_wikidata_ray.stages.clustering import resolve_conflicts
+
+    s = _Scenario(8000, random.Random("conflict"))
+    name = f"{s.stem} Mill"
+    s.add_wd({name: [("label", "en")]}, ["man_made=windmill"], n=0)
+    s.add_wd({name: [("label", "en")]}, ["man_made=windmill"], n=1, east_m=15)
+    s.add_osm({"name": name, "man_made": "windmill"}, north_m=30)
+    docs = [{"doc_id": d, "spans": sp} for d, sp in s.docs]
+    ds = ray_session.data.from_items(docs).repartition(2)
+    res = run_linkage(ds, with_clusters=False, scorer_concurrency=(1, 2))
+
+    note = "OSM candidate matches multiple Wikidata items"
+    for cap in (None, -1):  # broadcast path, exchange path
+        kw = {} if cap is None else {"conflict_broadcast_cap": cap}
+        resolved = resolve_conflicts(res.candidates, **kw).to_pandas()
+        assert len(resolved) == 2
+        assert (resolved["note"] == note).all()
+        assert not resolved["accepted"].any()

@@ -600,7 +600,7 @@ def test_dedup_passages_matches_duckdb(ray_session):
     )
     want = duckdb.sql(f"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
           FROM read_parquet('{sf}/documents.parquet')
         ), pos AS (
           SELECT doc_id, t,
@@ -651,3 +651,14 @@ def test_dedup_exact_planted_dups_both_branches(ray_session, tmp_path, monkeypat
     monkeypatch.setattr(td, "DEDUP_EXACT_BROADCAST_CAP", 0)
     got_attach = sorted(td.dedup_exact(str(tmp_path)).to_pandas()["doc_id"])
     assert got_attach == want
+
+
+def test_top_customers_copartition_matches_broadcast(ray_session):
+    """Forcing the >cap co-partitioned join must reproduce the broadcast
+    join exactly (same top-10 rows, same revenue)."""
+    from osm_wikidata_ray.pipelines.training_data import top_customers
+
+    base = top_customers(SF).to_pandas().reset_index(drop=True)
+    alt = top_customers(SF, broadcast_cap=0).to_pandas().reset_index(drop=True)
+    assert len(base) == 10
+    pd.testing.assert_frame_equal(base, alt)
