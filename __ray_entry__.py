@@ -48,9 +48,12 @@ def _corpus_fingerprint() -> str:
     silently reused."""
     import hashlib
 
+    from osm_wikidata_ray.functions import spans
     from osm_wikidata_ray.sources import synth
 
-    return hashlib.md5(open(synth.__file__, "rb").read()).hexdigest()[:8]
+    h = hashlib.md5(open(synth.__file__, "rb").read())
+    h.update(open(spans.__file__, "rb").read())  # doc encoders live here
+    return h.hexdigest()[:8]
 
 
 def _docs_dump_path(n: int) -> str:
@@ -621,11 +624,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "linkage_isa_facets": f"""
             WITH su AS (SELECT doc_id, unnest(spans) AS s
-                        FROM read_parquet({dump}))
-            SELECT split_part(s.text, chr(9), 2) AS isa, count(*)::BIGINT AS "sum(n)"
-            FROM su
-            WHERE s.kind = 'claim' AND starts_with(s.text, 'P31' || chr(9))
-            GROUP BY 1 ORDER BY isa
+                        FROM read_parquet({dump})),
+            cl AS (
+              SELECT split_part(s.text, chr(9), 2) AS isa FROM su
+              WHERE s.kind = 'claim' AND starts_with(s.text, 'P31' || chr(9))
+              UNION ALL
+              SELECT split_part(s.text, chr(9), 3) AS isa FROM su
+              WHERE s.kind = 'claim' AND starts_with(s.text, 'P279' || chr(9))
+            )
+            SELECT isa, count(*)::BIGINT AS "sum(n)"
+            FROM cl GROUP BY 1 HAVING count(*) >= 4 ORDER BY isa
         """,
         "media_features": f"""
             WITH su AS (SELECT doc_id, unnest(spans) AS s

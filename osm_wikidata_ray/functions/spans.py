@@ -254,6 +254,12 @@ def encode_wd_doc(item: dict[str, Any]) -> tuple[str, list[dict[str, Any]]]:
         spans.append(make_span("cat", cat))
     for isa in item.get("isa") or []:
         spans.append(make_span("claim", f"P31\t{isa}"))
+    # denormalized class hierarchy: one span per (P31 class, P279 super) of
+    # this item — the doc-driven stand-in for the reference's IsA.entity
+    # P279 claims (isa_facets.py:17-22), consumed by isa_facet_counts
+    for child, supers in (item.get("isa_supers") or {}).items():
+        for sup in supers:
+            spans.append(make_span("claim", f"P279\t{child}\t{sup}"))
     for isa_qid, labels in (item.get("isa_labels") or {}).items():
         for lang, label in labels.items():
             spans.append(make_span("claim", f"ISALABEL\t{isa_qid}\t{lang}\t{label}"))

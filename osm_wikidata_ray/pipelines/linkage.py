@@ -300,13 +300,18 @@ def osm_language_counts(candidates: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-def isa_facet_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """P31 class facet counts (reference isa_facets.py:4-44), computed
-    straight from the raw docs' claim spans ("P31\\t<qid>") — vectorized
-    flatten + prefix filter per batch, partial counts, tiny groupby.  The
-    r2 version decompressed every record payload in per-row Python; the
-    spans carry the same P31 list (functions/spans.py:255-256), so no
-    payload decode is needed at all."""
+def isa_facet_counts(
+    docs: "ray.data.Dataset", min_count: int = 4
+) -> "ray.data.Dataset":
+    """ISA facet counts (reference isa_facets.py:4-44): each item's P31
+    classes count once, and each class's P279 super-classes count once per
+    item occurrence (the reference walks isa.entity['claims']['P279'];
+    the doc corpus denormalizes those as "P279\\t<child>\\t<super>" spans,
+    functions/spans.py encode_wd_doc).  Facets under ``min_count`` are cut,
+    as in the reference (label/description resolution is a display concern
+    left to the caller — the corpus carries item labels, not class labels).
+    Vectorized flatten + prefix filters per batch, partial counts, tiny
+    groupby, final threshold filter."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -327,12 +332,25 @@ def isa_facet_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         wd_rows[parent[side_mask]] = (
             pc.equal(text, "wd").to_numpy(zero_copy_only=False)[side_mask]
         )
-        claim_mask = pc.and_(
-            pc.equal(kind, "claim"), pc.starts_with(text, "P31\t")
-        ).to_numpy(zero_copy_only=False)
-        keep = claim_mask & wd_rows[parent]
-        isa = pc.utf8_slice_codeunits(text.filter(pa.array(keep)), 4)
-        vc = pc.value_counts(isa)
+        is_claim = pc.equal(kind, "claim").to_numpy(zero_copy_only=False)
+        p31_mask = (
+            pc.starts_with(text, "P31\t").to_numpy(zero_copy_only=False)
+            & is_claim & wd_rows[parent]
+        )
+        p279_mask = (
+            pc.starts_with(text, "P279\t").to_numpy(zero_copy_only=False)
+            & is_claim & wd_rows[parent]
+        )
+        p31 = pc.utf8_slice_codeunits(text.filter(pa.array(p31_mask)), 4)
+        # "P279\t<child>\t<super>" → super (count once per item occurrence)
+        supers = pc.replace_substring_regex(
+            text.filter(pa.array(p279_mask)), r"^P279\t[^\t]*\t", ""
+        )
+        vc = pc.value_counts(pa.concat_arrays(
+            [p31.combine_chunks() if isinstance(p31, pa.ChunkedArray) else p31,
+             supers.combine_chunks() if isinstance(supers, pa.ChunkedArray)
+             else supers]
+        ))
         return pa.table(
             {"isa": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())},
             schema=schema,
@@ -342,6 +360,12 @@ def isa_facet_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         docs.map_batches(explode_isa, batch_format="pyarrow")
         .groupby("isa", num_partitions=8)
         .sum("n")
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("sum(n)"), min_count)
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -360,7 +384,134 @@ def match_ratio(result: LinkageResult) -> dict[str, float]:
     }
 
 
-def export_json(result: LinkageResult, path: str) -> None:
-    """Debug JSON sink for accepted pairs (reference matcher/export.py:1-103,
-    view.py:976-986) — ds.write_json, one file per block."""
-    result.accepted.write_json(path)
+def export_json(
+    result: LinkageResult, path: str, docs: "ray.data.Dataset | None" = None
+) -> None:
+    """Reference-shaped JSON export (matcher/export.py:1-103,
+    view.py:976-986): ``place.json`` carries the run-level summary (the
+    engine analog of the reference's place record — item/candidate/accepted
+    counts, match ratio, isa facet list) and ``items/`` holds one JSON
+    object PER ITEM with its candidates nested (candidate_fields
+    export.py:51-62 minus the raw-OSM display fields name/tags/planet_table/
+    src_id, which live in doc payloads, not the candidate view) plus the
+    item's isa list when ``docs`` is passed (export.py:95-100).
+
+    Scale shape: items/ is written with write_json — streaming, one file
+    per block, never one giant file; nesting happens in a qid-bucketed
+    groupby (bucket pattern), and the per-item isa rows ride the same
+    exchange as thin (qid, isa) strings.  Only place.json is driver-built,
+    from already-tiny aggregates."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cand_fields = [
+        "osm_type", "osm_id", "dist", "identifier_match", "address_match",
+        "name_match", "matching_tags", "chosen", "note", "already_tagged",
+    ]
+    cand_struct = pa.struct(
+        [("osm_type", pa.string()), ("osm_id", pa.int64()),
+         ("dist", pa.float64()), ("identifier_match", pa.bool_()),
+         ("address_match", pa.string()), ("name_match", pa.string()),
+         ("matching_tags", pa.string()), ("chosen", pa.bool_()),
+         ("note", pa.string()), ("already_tagged", pa.bool_())]
+    )
+    item_schema = pa.schema(
+        [("qid", pa.string()), ("isa", pa.list_(pa.string())),
+         ("candidates", pa.list_(cand_struct))]
+    )
+
+    union_schema = pa.schema(
+        [("qid", pa.string()), ("kind", pa.string()), ("isa", pa.string()),
+         *[(f"c_{f}", cand_struct.field(f).type) for f in cand_fields]]
+    )
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        cols = {
+            "qid": pc.cast(batch.column("qid"), pa.string()),
+            "kind": pa.array(["c"] * len(batch)),
+            "isa": pa.nulls(len(batch), pa.string()),
+        }
+        for f in cand_fields:
+            cols[f"c_{f}"] = pc.cast(batch.column(f), cand_struct.field(f).type)
+        return pa.table({n: cols[n] for n in union_schema.names}, schema=union_schema)
+
+    def tag_isa(batch: pa.Table) -> pa.Table:
+        # thin (qid, isa) rows from the WD docs' P31 claim spans
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy()
+        flat = spans.flatten()
+        text = flat.field("text")
+        keep = pc.and_(
+            pc.equal(flat.field("kind"), "claim"), pc.starts_with(text, "P31\t")
+        ).to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[parent[keep]]
+        # wd doc ids are "wd-Q%09d" (functions/spans.py encode_wd_doc)
+        qids = np.array(["Q" + d.split("-Q", 1)[1].lstrip("0") for d in ids],
+                        dtype=object)
+        isa = pc.utf8_slice_codeunits(text.filter(pa.array(keep)), 4)
+        n = len(isa)
+        cols = {
+            "qid": pa.array(qids, pa.string()),
+            "kind": pa.array(["i"] * n),
+            "isa": isa,
+        }
+        for f in cand_fields:
+            cols[f"c_{f}"] = pa.nulls(n, cand_struct.field(f).type)
+        return pa.table({nm: cols[nm] for nm in union_schema.names},
+                        schema=union_schema)
+
+    def nest(bucket: pd.DataFrame) -> pa.Table:
+        items = []
+        # nulls from the union give c_* columns widened dtypes (int64 →
+        # float64, bool → object); pin them back on the candidate subframe
+        pin = {"c_osm_id": "int64", "c_dist": "float64",
+               "c_identifier_match": "bool", "c_chosen": "bool",
+               "c_already_tagged": "bool"}
+        for qid, g in bucket.groupby("qid", sort=False):
+            c = g[g["kind"] == "c"]
+            if c.empty:  # isa rows for items with no stored candidates
+                continue
+            c = c.astype(pin).sort_values(["c_dist", "c_osm_id"])
+            cands = [
+                {f: row[f"c_{f}"] for f in cand_fields}
+                for row in c.to_dict("records")
+            ]
+            isa = sorted(set(g.loc[g["kind"] == "i", "isa"].dropna()))
+            items.append({"qid": qid, "isa": isa, "candidates": cands})
+        if not items:
+            return item_schema.empty_table()
+        return pa.Table.from_pylist(items, schema=item_schema)
+
+    unioned = result.candidates.map_batches(tag_cand, batch_format="pyarrow")
+    if docs is not None:
+        # only WD docs carry P31 claim spans, so no side prefilter is needed
+        unioned = unioned.union(docs.map_batches(tag_isa, batch_format="pyarrow"))
+
+    n_parts = default_partitions()
+    items_ds = (
+        unioned.map_batches(
+            lambda b: blocking.add_bucket(b, "qid", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket", num_partitions=n_parts)
+        .map_groups(nest, batch_format="pandas")
+    )
+    os.makedirs(path, exist_ok=True)
+    items_ds.write_json(os.path.join(path, "items"))
+
+    place = match_ratio(result)
+    facets = isa_facet_counts(docs, min_count=1) if docs is not None else None
+    place["isa_facets"] = (
+        [{"qid": r["isa"], "count": int(r["sum(n)"])}
+         for r in sorted(facets.take_all(), key=lambda r: r["isa"])]
+        if facets is not None else []
+    )
+    with open(os.path.join(path, "place.json"), "w") as f:
+        json.dump({"place": place}, f, indent=1, sort_keys=True)

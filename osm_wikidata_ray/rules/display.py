@@ -42,3 +42,39 @@ def display_distance(units: str, dist: float) -> str | None:
         miles = dist / METRES_PER_MILE
         return f"{miles:,.2f} miles" if miles > 0.5 else f"{dist:,.0f} metres"
     return metric_display_distance(units, dist)
+
+
+# pattern.en-equivalent rules for the vocabulary isa labels draw from
+# (reference utils.py:181-191 delegates to pattern.en.pluralize; that
+# library is not available here, so the classical pluralization rules it
+# implements are inlined for the regular cases + common irregulars)
+_PLURAL_IRREGULAR = {
+    "mine": "mines",  # the reference's own override (pattern says "ours")
+    "child": "children", "person": "people", "man": "men", "woman": "women",
+    "foot": "feet", "tooth": "teeth", "goose": "geese", "mouse": "mice",
+    "church": "churches",
+}
+_ES_ENDINGS = ("s", "x", "z", "ch", "sh")
+_F_TO_VES = ("leaf", "shelf", "wolf", "half", "calf", "loaf", "scarf")
+
+
+def pluralize_label(label: dict[str, str]) -> str:
+    """Plural of an English isa label; non-English labels pass through
+    (reference utils.py:181-191, used by IsA.label_best_language
+    model.py:219-224)."""
+    text = label["value"]
+    if label["language"] != "en":
+        return text
+    low = text.lower()
+    if low in _PLURAL_IRREGULAR:
+        out = _PLURAL_IRREGULAR[low]
+        return out.capitalize() if text[:1].isupper() else out
+    if low.endswith("y") and len(text) > 1 and low[-2] not in "aeiou":
+        return text[:-1] + "ies"
+    if low.endswith(_ES_ENDINGS):
+        return text + "es"
+    if low in _F_TO_VES:
+        return text[:-1] + "ves"
+    if low.endswith("fe") and low[:-2] + "fe" in ("knife", "wife", "life"):
+        return text[:-2] + "ves"
+    return text + "s"

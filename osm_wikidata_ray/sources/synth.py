@@ -29,6 +29,15 @@ from ..functions.spans import (
 
 SEED = 42
 
+# P31-class → P279 super-classes for the synthetic corpus' two ISA families
+# (railway station Q55488 → station Q719456 / transport infrastructure
+# Q376799; mountain range Q46831 → landform Q271669) — deterministic rule
+# data for the isa-facet P279 counting path (reference isa_facets.py:17-22)
+_ISA_SUPERS = {
+    "Q55488": ["Q719456", "Q376799"],
+    "Q46831": ["Q271669"],
+}
+
 _W1 = (
     "alder ash aspen bay beech birch briar cedar chestnut clover crag dale "
     "dell elm fern fir glen hazel heath holly ivy juniper larch laurel linden "
@@ -96,6 +105,13 @@ class _Scenario:
         lat, lon = self.at(north_m, east_m)
         item = {"qid": qid, "lat": lat, "lon": lon, "names": names, "tags": tags}
         item.update(extra)
+        # denormalize the class hierarchy of the item's P31 values (the
+        # reference fetches each IsA entity's P279 claims; the synth corpus
+        # ships them as P279 spans so isa_facet_counts can count supers)
+        if item.get("isa") and "isa_supers" not in item:
+            item["isa_supers"] = {
+                q: _ISA_SUPERS[q] for q in item["isa"] if q in _ISA_SUPERS
+            }
         doc_id, spans = encode_wd_doc(item)
         self._interleave_noise(spans, qid)
         self.docs.append((doc_id, finalize_spans(spans)))

@@ -538,3 +538,17 @@ def test_match_operator_at_start_of_name():
     assert m.check_for_match(osm_tags, wd_names, ["theatre"]) == {
         "name strip operator": [("wikidata_trimmed", "Roslindale Theatre", [("label", "en")])]
     }
+
+
+def test_pluralize_label():
+    """reference utils.py:181-191 semantics incl. the 'mine' override."""
+    from osm_wikidata_ray.rules.display import pluralize_label
+
+    en = lambda v: {"language": "en", "value": v}
+    assert pluralize_label(en("mine")) == "mines"
+    assert pluralize_label(en("church")) == "churches"
+    assert pluralize_label(en("city")) == "cities"
+    assert pluralize_label(en("bus")) == "buses"
+    assert pluralize_label(en("railway station")) == "railway stations"
+    assert pluralize_label(en("monastery")) == "monasteries"
+    assert pluralize_label({"language": "de", "value": "Bahnhof"}) == "Bahnhof"

@@ -156,26 +156,76 @@ def test_resume_skips_completed_stages(ray_session, corpus, tmp_path):
     assert manifest["complete"] and manifest["partitions"]
 
 
-def test_metrics_and_export(ray_session, linkage_result, tmp_path):
+def test_metrics_and_export(ray_session, linkage_result, corpus, tmp_path):
+    """place+items+candidates export (reference export.py:1-103): the
+    nested items JSON round-trips the candidates view exactly, items carry
+    their isa lists, and place.json holds the run summary."""
     from osm_wikidata_ray.pipelines.linkage import export_json, match_ratio
 
     metrics = match_ratio(linkage_result)
     assert metrics["accepted_count"] > 0
     assert 0 < metrics["match_ratio"] <= 1.0
 
-    export_json(linkage_result, str(tmp_path / "export"))
+    docs, _gold = corpus
+    ds = ray_session.data.from_items(docs).repartition(4)
+    export_json(linkage_result, str(tmp_path / "export"), docs=ds)
     import glob
     import json as _json
 
-    files = glob.glob(str(tmp_path / "export" / "*.json"))
+    place = _json.loads(open(tmp_path / "export" / "place.json").read())["place"]
+    assert place["item_count"] == metrics["item_count"]
+    assert place["candidate_count"] == metrics["candidate_count"]
+    assert {f["qid"] for f in place["isa_facets"]} >= {"Q55488", "Q46831"}
+
+    files = glob.glob(str(tmp_path / "export" / "items" / "*.json"))
     assert files
-    rows = [
-        _json.loads(line)
-        for f in files
-        for line in open(f)
-        if line.strip()
+    items = [
+        _json.loads(line) for f in files for line in open(f) if line.strip()
     ]
-    assert len(rows) == metrics["accepted_count"]
+    # round-trip: flattened nested candidates == the candidates view
+    got = {
+        (it["qid"], c["osm_type"], c["osm_id"], round(c["dist"], 6), c["chosen"])
+        for it in items
+        for c in it["candidates"]
+    }
+    cand = linkage_result.candidates.to_pandas()
+    want = {
+        (r.qid, r.osm_type, r.osm_id, round(r.dist, 6), r.chosen)
+        for r in cand.itertuples()
+    }
+    assert got == want
+    assert len(items) == metrics["item_count"]
+
+
+def test_export_items_carry_isa(ray_session, tmp_path):
+    """An exported item with a planted P31 lists it in `isa`
+    (reference export.py:95-100 ItemIsA attach)."""
+    import glob
+    import json as _json
+    import random
+
+    from osm_wikidata_ray.pipelines.linkage import export_json, run_linkage
+    from osm_wikidata_ray.sources.synth import _Scenario
+
+    s = _Scenario(9000, random.Random("isa-export"))
+    name = f"{s.stem} railway station"
+    q = s.add_wd({name: [("label", "en")]}, ["railway=station"], isa=["Q55488"])
+    s.add_osm({"name": name, "railway": "station"}, north_m=40)
+    docs = [{"doc_id": d, "spans": sp} for d, sp in s.docs]
+    ds = ray_session.data.from_items(docs).repartition(2)
+    res = run_linkage(ds, with_clusters=False, scorer_concurrency=(1, 2))
+    export_json(res, str(tmp_path / "exp"), docs=ds)
+    items = [
+        _json.loads(line)
+        for f in glob.glob(str(tmp_path / "exp" / "items" / "*.json"))
+        for line in open(f) if line.strip()
+    ]
+    by_qid = {it["qid"]: it for it in items}
+    assert by_qid[q]["isa"] == ["Q55488"]
+    assert by_qid[q]["candidates"][0]["chosen"]
+    place = _json.loads(open(tmp_path / "exp" / "place.json").read())["place"]
+    # super-classes ride the facet list too (min_count=1 in the export)
+    assert {f["qid"] for f in place["isa_facets"]} >= {"Q55488", "Q719456"}
 
 
 def test_isa_facets_and_lang_counts(ray_session, corpus):
