@@ -156,7 +156,7 @@ def main() -> None:
 
     if args.scaling:
         small, large = (int(x) for x in args.legs.split(","))
-        run_scaling(sf_dir, args.pairs, small, large)
+        run_scaling(sf_dir, args.pairs, small, large, args.n_docs)
         return
 
     _init_ray(num_cpus)
@@ -191,7 +191,8 @@ def main() -> None:
 
 
 def run_scaling(
-    sf_dir: str, n_pairs: int = 3, small: int = 8, large: int = 32
+    sf_dir: str, n_pairs: int = 3, small: int = 8, large: int = 32,
+    n_docs_override: int | None = None,
 ) -> None:
     """Same linkage job at num_cpus=small vs large in fresh processes —
     the sandbox proxy for the N→4N-node cluster-size criterion.
@@ -230,7 +231,7 @@ def run_scaling(
     # the parallel fraction; above ~500k docs the shared box's memory
     # bandwidth starts throttling the 32-CPU leg instead (measured: 864k
     # docs dropped the 32-leg to 8.9k docs/s vs 12.7k at 432k)
-    n_docs = max(8000, int(36 * 120_000 * _sf(sf_dir)))
+    n_docs = n_docs_override or max(8000, int(36 * 120_000 * _sf(sf_dir)))
 
     def leg(cpus: int) -> dict:
         env = dict(os.environ)

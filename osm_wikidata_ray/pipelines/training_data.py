@@ -356,8 +356,13 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    # task stage, not an actor pool: the per-call state is four tiny Arrow
+    # value_sets (~60 words), so actor ramp cost more than the state saved
+    # (the r3 actor pool was sized for the old per-row loop); the instance
+    # ships in the task closure once per task — negligible
+    scorer = LangId()
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        scorer, batch_format="pyarrow"
     )
 
 
@@ -520,16 +525,22 @@ def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow",
     )
     candidates = classified.filter(expr="is_cand == True")
-    n_cand = candidates.count()
+    # ONE bounded pass both counts and collects: pulling stops the moment
+    # the cap is crossed, so driver memory stays bounded without a separate
+    # count() execution of the filter
+    cand_parts: list[np.ndarray] = []
+    n_cand = 0
+    for b in candidates.iter_batches(batch_format="numpy"):
+        n_cand += len(b["doc_id"])
+        if n_cand > DEDUP_EXACT_BROADCAST_CAP:
+            cand_parts.clear()
+            break
+        cand_parts.append(b["doc_id"])
     if n_cand == 0:
         return survivors
 
     if n_cand <= DEDUP_EXACT_BROADCAST_CAP:
-        cand_ids = np.sort(
-            np.concatenate(
-                [b["doc_id"] for b in candidates.iter_batches(batch_format="numpy")]
-            )
-        )
+        cand_ids = np.sort(np.concatenate(cand_parts))
         cand_ref = ray.put(cand_ids)
 
         def pick(batch: pa.Table) -> pa.Table:
