@@ -315,10 +315,23 @@ def clusters_from_disjoint_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset
 
 def connected_components(
     pairs: "ray.data.Dataset",
-    max_rounds: int = 8,
+    max_rounds: int = 24,  # doubling: covers diameter ~2^23 components
     num_partitions: int | None = None,  # kept for API compat; unused
 ) -> "ray.data.Dataset":
-    """(node, cluster_id) labels via join-free min-label propagation."""
+    """(node, cluster_id) labels via join-free min-label propagation with
+    hash-to-min shortcut edges.
+
+    Plain one-hop min propagation converges in O(diameter) rounds — a
+    ring-paired mega-duplicate cluster (stages ring-pair past
+    BUCKET_PAIR_CAP, so a 10⁶-copy component is a 10⁶-cycle) would need
+    ~10⁶ rounds.  Each round therefore ALSO feeds the current label table
+    back in as bidirectional edges (node↔label): once u points at label L,
+    L hears of u's neighbors' labels next round and vice versa, so label
+    distance doubles per round and convergence is O(log diameter)
+    (hash-to-min, Rastogi et al. 2012).  Shortcut edges stay inside the
+    component (labels start as member node ids and only decrease), so no
+    cross-component merging is possible.  A per-round label-multiset
+    checksum exits early on convergence."""
     adj = _pairs_to_adjacency(pairs).materialize()
 
     # initial labels: every node labels itself
@@ -329,6 +342,19 @@ def connected_components(
         ),
         batch_format="pyarrow",
     )
+
+    def label_edges(b: pa.Table) -> pa.Table:
+        # shortcut edges from the label table, both directions; self-loops
+        # (label == node) are harmless but carry no information — drop them
+        keep = pc.invert(pc.equal(b.column("node"), b.column("label")))
+        b = b.filter(keep)
+        empty = pa.array([""] * len(b), pa.string())
+        return pa.concat_tables(
+            [pa.table({"node": b.column("node"), "nbr": b.column("label"),
+                       "label": empty}),
+             pa.table({"node": b.column("label"), "nbr": b.column("node"),
+                       "label": empty})]
+        )
 
     prev_crc: int | None = None
     for _ in range(max_rounds):
@@ -346,7 +372,8 @@ def connected_components(
                      "label": b.column("label")}
                 ),
                 batch_format="pyarrow",
-            )
+            ),
+            labels.map_batches(label_edges, batch_format="pyarrow"),
         )
         n_parts = default_partitions()
         msgs = (
@@ -356,6 +383,9 @@ def connected_components(
             )
             .groupby("bucket", num_partitions=n_parts)
             .map_groups(_propagate_bucket, batch_format="pandas")
+            # barrier between the two all-to-all exchanges (CLAUDE.md
+            # invariant — measured: the unfused loop hangs/crawls without it)
+            .materialize()
         )
         labels = (
             msgs.groupby("node", num_partitions=default_partitions())
@@ -366,6 +396,12 @@ def connected_components(
                 ),
                 batch_format="pyarrow",
             )
+            # coalesce: Ray 2.49's sort-groupby emits one block per INPUT
+            # block, and labels feed back into next round's union twice —
+            # without this cap the block count doubles every round
+            # (measured 24→56→120→248→504 on an 80-node ring) and round
+            # wall doubles with it
+            .repartition(n_parts)
             .materialize()
         )
         crc = _label_checksum(labels)

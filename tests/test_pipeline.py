@@ -603,3 +603,29 @@ def test_resolve_conflicts_exchange_flags_conflict(ray_session):
         assert len(resolved) == 2
         assert (resolved["note"] == note).all()
         assert not resolved["accepted"].any()
+
+
+def test_connected_components_long_chain_and_ring(ray_session):
+    """Hash-to-min shortcut edges give O(log diameter) convergence: a
+    40-qid ring (80 graph nodes — the ring-paired mega-cluster shape)
+    collapses to one cluster in ~7 label rounds; one-hop propagation
+    would need ~40 and overrun max_rounds."""
+    import pyarrow as pa
+
+    from osm_wikidata_ray.stages.clustering import connected_components
+
+    # path: Q0-node/0-Q1-node/1-...  (each pair row links Qi to node/i,
+    # and Qi+1 to node/i too, chaining)
+    n = 40
+    qid, ot, oid = [], [], []
+    for i in range(n):
+        qid += [f"Q{i:04d}", f"Q{(i + 1) % n:04d}"]  # ring closure at i=n-1
+        ot += ["node", "node"]
+        oid += [i, i]
+    pairs = ray_session.data.from_arrow(
+        pa.table({"qid": qid, "osm_type": ot, "osm_id": oid})
+    ).repartition(8)
+    cl = connected_components(pairs).to_pandas()
+    assert cl.cluster_id.nunique() == 1
+    assert len(cl) == 2 * n  # n qids + n osm nodes
+    assert cl.cluster_id.iloc[0] == "Q0000"
