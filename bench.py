@@ -41,6 +41,9 @@ def _init_ray(num_cpus: int) -> None:
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            # stdout is the driver contract (exactly ONE JSON line) — Ray
+            # forwards worker prints/logs to driver *stdout*, so keep them off
+            log_to_driver=False,
         )
     import ray.data
 

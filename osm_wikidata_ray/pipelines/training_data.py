@@ -443,12 +443,34 @@ def doc_fingerprint(
 
 # --- deduplication ---
 
-# broadcast guard for dedup_exact's verify pass: candidate doc_ids past this
-# bound skip the ray.put broadcast and attach texts via the bucketed
-# union-merge exchange instead (the adversarial everything-is-duplicated case)
+# broadcast guard for dedup_exact's verify pass: distinct duplicate HASHES
+# past this bound skip the ray.put broadcast and recover candidates via the
+# bucketed thin semi-join instead (the adversarial everything-is-duplicated
+# case) — the guard counts 8-byte hashes, not docs, so a corpus of 10⁶
+# copies of one text is a single entry
 DEDUP_EXACT_BROADCAST_CAP = 2_000_000
 
+# driver-side verify guard: candidate (text, min_doc) rows — already
+# collapsed per batch — collect to the driver only while their Arrow bytes
+# stay under this bound; past it the verify runs as a bucketed exchange
+DEDUP_EXACT_DRIVER_VERIFY_BYTES = 64 << 20
+
 _DEDUP_OUT = pa.schema([("doc_id", pa.int64())])
+
+
+def _collapse_texts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for the verify side: min doc_id per distinct text
+    WITHIN the batch.  Bounds the hot-bucket case — 10⁶ copies of one text
+    collapse to ≤ one row per batch before any exchange or driver collect."""
+    df = pd.DataFrame(
+        {"text": batch.column("text").to_pandas(),
+         "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False)}
+    )
+    agg = df.groupby("text", sort=False, dropna=False)["doc_id"].min()
+    return pa.table(
+        {"text": pa.array(agg.index.to_numpy(), pa.string()),
+         "doc_id": pa.array(agg.to_numpy(), pa.int64())}
+    )
 
 
 def _dedup_rehash_bucket(docs: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
@@ -472,105 +494,191 @@ def _dedup_rehash_bucket(docs: "ray.data.Dataset", n_parts: int) -> "ray.data.Da
     )
 
 
+def _dedup_text_hashes(batch: pa.Table) -> np.ndarray:
+    """int64 siphash per text (pd.util.hash_array — fixed-key, same kernel
+    as dedup_passages), the dedup_exact exchange key."""
+    return pd.util.hash_array(
+        batch.column("text").to_numpy(zero_copy_only=False), categorize=False
+    ).view(np.int64)
+
+
 def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
-    """Exact dedup: min doc_id per distinct text — THIN exchange.
+    """Exact dedup: min doc_id per distinct text — THIN, COMBINER-FIRST.
 
     The r3 form grouped directly on the raw text, shipping every document
     body as the shuffle KEY (VERDICT r3 #1: the engine's last
-    unbounded-payload exchange).  Now the all-to-all carries
-    (thash int64, doc_id) only: texts hash per batch (pd.util.hash_array —
-    fixed-key siphash, same kernel as dedup_passages) and a bucketed
-    groupby partitions hash groups.  Singleton hashes are unique texts —
-    survivors outright, no text ever shipped.  Multi-doc hashes are
-    duplicate CANDIDATES whose texts are exact-compared in a second pass
-    (killing 64-bit collisions): the candidate doc_id array broadcasts via
-    ray.put (one shared-memory copy, not per-task closure) and a second
-    corpus read ships text bytes for candidate docs ONLY.  Past
-    DEDUP_EXACT_BROADCAST_CAP candidates the broadcast is skipped and
-    texts attach through the bucketed union-merge exchange instead
-    (corpus ships once, as in _attach_by_key)."""
+    unbounded-payload exchange).  Now nothing per-doc crosses the wire:
+
+    1. Per-batch partial hash-agg: texts hash to int64 and each batch emits
+       ONE (thash, min_doc, cnt) row per distinct hash — duplicates collapse
+       before the exchange, so a dup-heavy corpus ships *less*, not more.
+    2. One thin exchange combines partials per hash: total cnt, global min
+       doc_id.  cnt == 1 rows are unique texts — survivors outright
+       (min_doc IS the doc), no text ever shipped.
+    3. cnt > 1 hashes are duplicate candidates whose texts exact-compare in
+       a verify pass (killing 64-bit collisions): the dup-hash array (8 B
+       per DISTINCT duplicated text) broadcasts via ray.put and a second
+       corpus read keeps candidate rows only, collapses (text → min doc)
+       per batch, and finishes either on the driver (byte-capped — the
+       common tiny case skips a whole shuffle) or through the bucketed
+       text-rehash exchange.  Past DEDUP_EXACT_BROADCAST_CAP dup hashes the
+       broadcast is skipped: candidates are recovered by a bucketed thin
+       semi-join and their texts attach via the union-merge exchange
+       (corpus ships once, as in _attach_by_key)."""
     from ..stages.blocking import add_bucket_int
 
     n_parts = default_partitions()
 
-    def thin(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text")
-        h = pd.util.hash_array(
-            texts.to_numpy(zero_copy_only=False), categorize=False
-        ).view(np.int64)
+    _PARTIAL_SCHEMA = pa.schema(
+        [("thash", pa.int64()), ("min_doc", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        h = _dedup_text_hashes(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h))
+        hs, ids_s = h[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        cnt = np.diff(np.r_[starts, len(hs)])
         return pa.table(
-            {"thash": pa.array(h, pa.int64()),
-             "doc_id": pc.cast(batch.column("doc_id"), pa.int64())}
+            {"thash": pa.array(hs[starts], pa.int64()),
+             "min_doc": pa.array(ids_s[starts], pa.int64()),  # ids ascend in-group
+             "cnt": pa.array(cnt, pa.int64())}
         )
 
-    def classify(bucket: pd.DataFrame) -> pa.Table:
-        sizes = bucket.groupby("thash", sort=False)["doc_id"].transform("size")
+    def combine(bucket: pd.DataFrame) -> pa.Table:
+        g = bucket.groupby("thash", sort=False)
+        agg = g.agg(min_doc=("min_doc", "min"), cnt=("cnt", "sum"))
         return pa.table(
-            {"doc_id": pa.array(bucket["doc_id"].to_numpy(), pa.int64()),
-             "is_cand": pa.array((sizes > 1).to_numpy(), pa.bool_())}
+            {"thash": pa.array(agg.index.to_numpy(), pa.int64()),
+             "min_doc": pa.array(agg["min_doc"].to_numpy(), pa.int64()),
+             "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64())}
         )
 
-    classified = (
+    agg = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(thin, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
         .map_batches(
             lambda b: add_bucket_int(b, "thash", n_parts * 4), batch_format="pyarrow"
         )
         .groupby("bucket_part", num_partitions=n_parts)
-        .map_groups(classify, batch_format="pandas")
-        .materialize()  # two consumers (survivors + candidates) below
+        .map_groups(combine, batch_format="pandas")
+        .materialize()  # two consumers (survivors + dup hashes) below
     )
-    survivors = classified.filter(expr="is_cand == False").map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id")}, schema=_DEDUP_OUT),
+    survivors = agg.filter(expr="cnt == 1").map_batches(
+        lambda b: pa.table({"doc_id": b.column("min_doc")}, schema=_DEDUP_OUT),
         batch_format="pyarrow",
     )
-    candidates = classified.filter(expr="is_cand == True")
+    dup = agg.filter(expr="cnt > 1")
     # ONE bounded pass both counts and collects: pulling stops the moment
     # the cap is crossed, so driver memory stays bounded without a separate
     # count() execution of the filter
-    cand_parts: list[np.ndarray] = []
-    n_cand = 0
-    for b in candidates.iter_batches(batch_format="numpy"):
-        n_cand += len(b["doc_id"])
-        if n_cand > DEDUP_EXACT_BROADCAST_CAP:
-            cand_parts.clear()
+    dup_parts: list[np.ndarray] = []
+    n_dup = 0
+    for b in dup.iter_batches(batch_format="numpy"):
+        n_dup += len(b["thash"])
+        if n_dup > DEDUP_EXACT_BROADCAST_CAP:
+            dup_parts.clear()
             break
-        cand_parts.append(b["doc_id"])
-    if n_cand == 0:
+        dup_parts.append(b["thash"])
+    if n_dup == 0:
         return survivors
 
-    if n_cand <= DEDUP_EXACT_BROADCAST_CAP:
-        cand_ids = np.sort(np.concatenate(cand_parts))
-        cand_ref = ray.put(cand_ids)
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    if n_dup <= DEDUP_EXACT_BROADCAST_CAP:
+        dup_hashes = np.sort(np.concatenate(dup_parts))
+        dup_ref = ray.put(dup_hashes)
 
         def pick(batch: pa.Table) -> pa.Table:
-            arr = ray.get(cand_ref)  # zero-copy shared-memory view
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(arr, ids)
-            pos_c = np.minimum(pos, len(arr) - 1)
-            return batch.filter(pa.array(arr[pos_c] == ids))
+            arr = ray.get(dup_ref)  # zero-copy shared-memory view
+            h = _dedup_text_hashes(batch)
+            pos = np.minimum(np.searchsorted(arr, h), len(arr) - 1)
+            return _collapse_texts(batch.filter(pa.array(arr[pos] == h)))
 
-        cand_texts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            pick, batch_format="pyarrow"
+        cand = corpus.map_batches(pick, batch_format="pyarrow")
+        # common case: the collapsed candidate rows are tiny — finish on the
+        # driver and skip the verify shuffle entirely (byte-guarded)
+        parts: list[pa.Table] = []
+        nbytes = 0
+        for t in cand.iter_batches(batch_format="pyarrow"):
+            nbytes += t.nbytes
+            if nbytes > DEDUP_EXACT_DRIVER_VERIFY_BYTES:
+                parts.clear()
+                break
+            parts.append(t)
+        if nbytes <= DEDUP_EXACT_DRIVER_VERIFY_BYTES:
+            got = pa.concat_tables(parts) if parts else _collapse_texts(
+                pa.table({"text": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64())})
+            )
+            final = (
+                pd.DataFrame({"text": got.column("text").to_pandas(),
+                              "doc_id": got.column("doc_id").to_numpy()})
+                .groupby("text", sort=False, dropna=False)["doc_id"].min()
+            )
+            verified = ray.data.from_arrow(
+                pa.table({"doc_id": pa.array(final.to_numpy(), pa.int64())},
+                         schema=_DEDUP_OUT)
+            )
+            return survivors.union(verified)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_exact: candidate texts exceed the driver-verify byte cap "
+            "(%d); re-running the verify as a bucketed exchange",
+            DEDUP_EXACT_DRIVER_VERIFY_BYTES,
         )
+        cand_texts = cand  # lazy — re-executes through the exchange below
     else:
         import logging
 
         logging.getLogger(__name__).warning(
-            "dedup_exact: %d candidate doc_ids exceed the broadcast cap (%d); "
-            "falling back to the union-merge text attach",
-            n_cand, DEDUP_EXACT_BROADCAST_CAP,
+            "dedup_exact: %d duplicate hashes exceed the broadcast cap (%d); "
+            "falling back to the bucketed semi-join + union-merge text attach",
+            n_dup, DEDUP_EXACT_BROADCAST_CAP,
+        )
+
+        def thin(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"thash": pa.array(_dedup_text_hashes(batch), pa.int64()),
+                 "doc_id": pc.cast(batch.column("doc_id"), pa.int64())}
+            )
+
+        def mark_dup(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"thash": batch.column("thash"),
+                 "doc_id": pa.array(np.full(len(batch), -1, np.int64))}
+            )
+
+        def semi(bucket: pd.DataFrame) -> pa.Table:
+            th = bucket["thash"].to_numpy()
+            ids = bucket["doc_id"].to_numpy()
+            keep = np.isin(th, th[ids < 0]) & (ids >= 0)
+            return pa.table({"doc_id": pa.array(ids[keep], pa.int64())},
+                            schema=_DEDUP_OUT)
+
+        cand_ids = (
+            corpus.map_batches(thin, batch_format="pyarrow")
+            .union(dup.map_batches(mark_dup, batch_format="pyarrow"))
+            .map_batches(
+                lambda b: add_bucket_int(b, "thash", n_parts * 4),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket_part", num_partitions=n_parts)
+            .map_groups(semi, batch_format="pandas")
         )
         cand_texts = _attach_by_key(
-            candidates.select_columns(["doc_id"]),
+            cand_ids,
             pa.schema([("doc_id", pa.int64())]),
-            _read(sf_dir, "documents", ["doc_id", "text"]),
+            corpus,
             "doc_id",
             "text",
             "text",
             n_parts,
             pa.string(),
-        )
+        ).map_batches(_collapse_texts, batch_format="pyarrow")
 
     verified = _dedup_rehash_bucket(cand_texts, n_parts)
     return survivors.union(verified)

@@ -648,6 +648,14 @@ def test_dedup_exact_planted_dups_both_branches(ray_session, tmp_path, monkeypat
     got_bcast = sorted(td.dedup_exact(str(tmp_path)).to_pandas()["doc_id"])
     assert got_bcast == want
 
+    # broadcast branch, but texts past the driver-verify byte cap → the
+    # verify re-runs as the bucketed text-rehash exchange
+    monkeypatch.setattr(td, "DEDUP_EXACT_DRIVER_VERIFY_BYTES", 0)
+    got_exchange_verify = sorted(td.dedup_exact(str(tmp_path)).to_pandas()["doc_id"])
+    assert got_exchange_verify == want
+
+    # adversarial branch: dup-hash count past the broadcast cap → bucketed
+    # thin semi-join + union-merge text attach
     monkeypatch.setattr(td, "DEDUP_EXACT_BROADCAST_CAP", 0)
     got_attach = sorted(td.dedup_exact(str(tmp_path)).to_pandas()["doc_id"])
     assert got_attach == want
