@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import pathlib
 import re
+from collections import defaultdict
 from functools import lru_cache
 from typing import Any, Collection, Iterable
 
@@ -135,26 +136,65 @@ def tag_and_key_if_possible(tags: set[str]) -> set[str]:
     return tags
 
 
+@lru_cache(maxsize=1)
+def _endings_by_tag() -> dict[str, frozenset[str]]:
+    """Inverted index: osm tag → union of trim_endings over rules carrying
+    it.  `union over rules with tags∩osm_tags≠∅` == `union over t∈tags of
+    per-tag unions`, so the per-call scan of every rule (the scorer's
+    hottest helper) collapses to |tags| dict lookups."""
+    out: defaultdict[str, set[str]] = defaultdict(set)
+    for rule in load_type_rules():
+        ends = rule.get("trim_endings")
+        if ends:
+            for t in rule["osm_tags"]:
+                out[t].update(ends)
+    return {t: frozenset(v) for t, v in out.items()}
+
+
 def get_ending_from_criteria(tags: Collection[str]) -> set[str]:
     """Trim endings for the given expected tags (matcher.py:153-167)."""
-    tags = set(tags)
-    tags.discard("type=site")  # too generic
+    idx = _endings_by_tag()
     endings: set[str] = set()
-    for rule in load_type_rules():
-        if tags & set(rule["osm_tags"]):
-            endings.update(rule.get("trim_endings", []))
+    for t in tags:
+        if t != "type=site":  # too generic
+            endings.update(idx.get(t, ()))
     return endings
+
+
+@lru_cache(maxsize=1)
+def _max_dist_by_tag() -> dict[str, int]:
+    """Inverted index: osm tag → max max_dist_km over rules carrying it
+    (max over applicable rules == max over t∈tags of per-tag maxima)."""
+    out: dict[str, int] = {}
+    for rule in load_type_rules():
+        d = rule.get("max_dist_km")
+        if d:
+            for t in rule["osm_tags"]:
+                if d > out.get(t, 0):
+                    out[t] = d
+    return out
 
 
 def get_max_dist_from_criteria(tags: Collection[str]) -> int | None:
     """Largest per-type match radius in km (matcher.py:206-220)."""
-    tags = set(tags)
-    dists = [
-        rule["max_dist_km"]
-        for rule in load_type_rules()
-        if rule.get("max_dist_km") and tags & set(rule["osm_tags"])
-    ]
-    return max(dists) if dists else None
+    idx = _max_dist_by_tag()
+    best = 0
+    for t in tags:
+        d = idx.get(t, 0)
+        if d > best:
+            best = d
+    return best or None
+
+
+@lru_cache(maxsize=1)
+def _housename_tags() -> frozenset[str]:
+    """Union of osm_tags over housename rules (tags∩osm_tags≠∅ for ANY
+    housename rule == tags ∩ this union ≠ ∅)."""
+    out: set[str] = set()
+    for rule in load_type_rules():
+        if rule.get("housename"):
+            out.update(rule["osm_tags"])
+    return frozenset(out)
 
 
 def could_be_building(tags: set[str], instanceof: Collection[str]) -> bool:
@@ -181,8 +221,7 @@ def could_be_building(tags: set[str], instanceof: Collection[str]) -> bool:
     if found_instanceof:
         return check_housename
 
-    tags = set(tags)
-    return any(rule.get("housename") and tags & set(rule["osm_tags"]) for rule in rules)
+    return bool(set(tags) & _housename_tags())
 
 
 def get_extra_tags(instanceof: Iterable[str]) -> set[str]:

@@ -39,11 +39,24 @@ def decode_corpus(docs: Iterable[dict[str, Any]]) -> tuple[list[dict], list[dict
 def candidate_rows_for_items(
     items: list[dict], objs: list[dict]
 ) -> dict[str, list[dict]]:
-    """Blocking + distance gating: per-qid candidate OSM rows."""
+    """Blocking + distance gating: per-qid candidate OSM rows.
+
+    Distances are ONE vectorized haversine call per item over its candidate
+    set — the same numpy path the engine's emit_pairs_bucket takes (a scalar
+    per-pair loop here was 22 of the oracle's 32 s at 12k docs, all numpy
+    call overhead)."""
+    import numpy as np
+
     by_key: defaultdict[str, list[int]] = defaultdict(list)
     for j, o in enumerate(objs):
         for k in osm_block_keys(o["tags"], o["lat"], o["lon"], o["planet_table"]):
             by_key[k].append(j)
+
+    o_lat = np.array([o["lat"] for o in objs], dtype=np.float64)
+    o_lon = np.array([o["lon"] for o in objs], dtype=np.float64)
+    o_point = np.array(
+        [o["planet_table"] == "point" for o in objs], dtype=bool
+    )
 
     per_item: dict[str, list[dict]] = {}
     for item in items:
@@ -53,17 +66,13 @@ def candidate_rows_for_items(
         cand_idx: set[int] = set()
         for k in wd_block_keys(item):
             cand_idx.update(by_key.get(k, ()))
-        rows = []
-        for j in cand_idx:
-            o = objs[j]
-            dist = float(haversine_m(item["lat"], item["lon"], o["lat"], o["lon"]))
-            limit = max_dist_m
-            if o["planet_table"] == "point":
-                limit = max(limit, NEARBY_NODE_M)
-            if dist <= max_dist_m or (
-                o["planet_table"] == "point" and dist <= NEARBY_NODE_M
-            ):
-                rows.append({**o, "dist": dist})
+        idx = np.fromiter(cand_idx, dtype=np.int64, count=len(cand_idx))
+        dists = haversine_m(item["lat"], item["lon"], o_lat[idx], o_lon[idx])
+        keep = (dists <= max_dist_m) | (o_point[idx] & (dists <= NEARBY_NODE_M))
+        rows = [
+            {**objs[j], "dist": float(d)}
+            for j, d in zip(idx[keep], dists[keep])
+        ]
         rows.sort(key=lambda r: (r["dist"], r["osm_type"], r["osm_id"]))
         per_item[item["qid"]] = rows[:CANDIDATE_LIMIT]
     return per_item
