@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import re
 from collections import defaultdict
+from functools import lru_cache
 from typing import Any, Collection, Iterator, NamedTuple
 
 from .text import fold_to_ascii, number_to_words, ordinals_to_words
@@ -120,11 +121,14 @@ def any_upper(s: str) -> bool:
     return any(c.isupper() for c in s)
 
 
+@lru_cache(maxsize=65536)
 def tidy_name(n: str) -> str:
     """Normalise a lowercase name (match.py:103-177).
 
     ASCII-fold, strip, synonym rewrites, possessive strip, plural strip,
-    ss->s, center->centre / theater->theatre.
+    ss->s, center->centre / theater->theatre.  Pure str→str with a
+    per-process memo — the cascade retries the same names across rules and
+    real corpora repeat names heavily (the scorer's hottest single helper).
     """
     n = fold_to_ascii(n).strip().rstrip("'")
     for old, new in _TIDY_REWRITES:
