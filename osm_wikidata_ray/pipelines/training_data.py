@@ -947,11 +947,13 @@ def _attach_by_key(
     )
 
 
-def _minhash_candidates(
+def _lsh_raw_pairs(
     sigs_ds: "ray.data.Dataset", n_parts: int
 ) -> "ray.data.Dataset":
-    """Distinct LSH candidate pairs from the thin band shuffle (materialized
-    — chained all-to-all stages schedule pathologically, see CLAUDE.md)."""
+    """Capped in-bucket candidate pairs from the thin band shuffle, WITHOUT
+    the cross-band dedup exchange (the few cross-band duplicates resolve on
+    the driver in the common case, or in the fallback groupby).
+    Materialized — consumed by the driver pull and possibly the fallback."""
     from ..stages.blocking import add_bucket_int
 
     return (
@@ -962,11 +964,93 @@ def _minhash_candidates(
         )
         .groupby("bucket_part", num_partitions=n_parts)
         .map_groups(_bucket_candidate_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"], num_partitions=n_parts)
+        .materialize()
+    )
+
+
+def _minhash_candidates(
+    sigs_ds: "ray.data.Dataset", n_parts: int,
+    raw: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """Distinct LSH candidate pairs (exchange path: cross-band dedup via a
+    thin (doc_a, doc_b) groupby; materialized — chained all-to-all stages
+    schedule pathologically, see CLAUDE.md)."""
+    if raw is None:
+        raw = _lsh_raw_pairs(sigs_ds, n_parts)
+    return (
+        raw.groupby(["doc_a", "doc_b"], num_partitions=n_parts)
         .count()
         .select_columns(["doc_a", "doc_b"])
         .materialize()
     )
+
+
+# driver fast-path guards for the LSH dedups: candidate pairs pull to the
+# driver under a count cap, their payloads under a byte cap; past either
+# cap the bucketed-exchange path runs unchanged (both paths parity-tested)
+LSH_PAIR_DRIVER_CAP = 2_000_000
+LSH_VERIFY_DRIVER_BYTES = 64 << 20
+# tighter pair cap for dedup_ngram_jaccard's driver verify — the exact
+# per-pair intersect is a Python loop (≈10 µs/pair), so bound driver wall
+NGRAM_DRIVER_PAIR_CAP = 200_000
+
+
+def _pull_pairs(raw: "ray.data.Dataset") -> "np.ndarray | None":
+    """Unique (k, 2) int64 candidate pairs on the driver, or None past
+    LSH_PAIR_DRIVER_CAP (pulling stops at the cap — bounded driver memory)."""
+    parts: list[np.ndarray] = []
+    n = 0
+    for b in raw.iter_batches(batch_format="numpy"):
+        n += len(b["doc_a"])
+        if n > LSH_PAIR_DRIVER_CAP:
+            return None
+        parts.append(
+            np.stack(
+                [b["doc_a"].astype(np.int64), b["doc_b"].astype(np.int64)],
+                axis=1,
+            )
+        )
+    if not parts:
+        return np.empty((0, 2), np.int64)
+    return np.unique(np.concatenate(parts), axis=0)
+
+
+def _pull_payloads(
+    ids: np.ndarray,
+    ref_ds: "ray.data.Dataset",
+    payload_col: str,
+    byte_cap: int,
+) -> "tuple[np.ndarray, list] | None":
+    """(sorted doc_ids, aligned payload list) for the candidate docs: the
+    sorted id array broadcasts via ray.put, one pass over ref filters by
+    membership, and the (tiny) result collects under ``byte_cap`` — or None
+    if the cap trips (caller falls back to the exchange attach)."""
+    if not len(ids):
+        return np.empty(0, np.int64), []
+    id_ref = ray.put(np.sort(ids))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        arr = ray.get(id_ref)  # zero-copy shared-memory view
+        v = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(arr, v), len(arr) - 1)
+        return batch.select(["doc_id", payload_col]).filter(
+            pa.array(arr[pos] == v)
+        )
+
+    parts: list[pa.Table] = []
+    nbytes = 0
+    for t in ref_ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        nbytes += t.nbytes
+        if nbytes > byte_cap:
+            return None
+        parts.append(t)
+    tbl = pa.concat_tables(parts)
+    got_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(got_ids)
+    payloads = tbl.column(payload_col).to_pylist()
+    return got_ids[order], [payloads[i] for i in order]
 
 
 def _attach_pair_payloads(
@@ -1069,12 +1153,52 @@ def _attach_pair_payloads(
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
     """MinHash-LSH near-dup pairs: thin band shuffle → capped in-bucket
-    candidate pairs → signatures attached to the (few) candidates in one
-    corpus pass → estimated-Jaccard verification ≥ threshold.
-    Returns (doc_a, doc_b)."""
+    candidate pairs → estimated-Jaccard verification ≥ threshold.
+    Returns (doc_a, doc_b).
+
+    Fast path (the common case — candidates are FEW by construction): the
+    pairs pull to the driver (count-capped), candidate signatures fetch via
+    one broadcast-filtered pass over the signature table (byte-capped), and
+    the (sa == sb).mean verify is a single numpy expression on the driver —
+    two whole exchanges (cross-band dedup + signature attach) never run.
+    Past either cap the exchange path runs: thin (doc_a, doc_b) dedup
+    groupby, signatures attached to pairs in one corpus pass
+    (_attach_pair_payloads), distributed verify."""
     n_parts = default_partitions()
     sigs_ds = minhash_signatures(sf_dir).materialize()
-    cand = _minhash_candidates(sigs_ds, n_parts)
+    raw = _lsh_raw_pairs(sigs_ds, n_parts)
+
+    pairs_np = _pull_pairs(raw)
+    if pairs_np is not None:
+        pulled = _pull_payloads(
+            np.unique(pairs_np), sigs_ds, "sig", LSH_VERIFY_DRIVER_BYTES
+        )
+        if pulled is not None:
+            sorted_ids, sigs = pulled
+            if len(pairs_np):
+                sig_mat = np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(
+                    len(sorted_ids), _MINHASH_PERMS
+                )
+                ia = np.searchsorted(sorted_ids, pairs_np[:, 0])
+                ib = np.searchsorted(sorted_ids, pairs_np[:, 1])
+                est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
+                keep = pairs_np[est >= threshold]
+            else:
+                keep = pairs_np
+            return ray.data.from_arrow(
+                pa.table(
+                    {"doc_a": pa.array(keep[:, 0], pa.int64()),
+                     "doc_b": pa.array(keep[:, 1], pa.int64())},
+                    schema=_PAIR_SCHEMA,
+                )
+            )
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "dedup_minhash: candidates exceed the driver caps; running the "
+        "bucketed-exchange verify"
+    )
+    cand = _minhash_candidates(sigs_ds, n_parts, raw=raw)
     attached = _attach_pair_payloads(cand, sigs_ds, "sig", n_parts, pa.binary())
 
     def verify(batch: pd.DataFrame) -> pa.Table:
@@ -1111,9 +1235,48 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8) -> "ray.data.Datase
     # estimated-Jaccard prefilter would cost a second signature attach and
     # the exact verify provides all the precision
     sigs_ds = minhash_signatures(sf_dir).materialize()
-    cand = _minhash_candidates(sigs_ds, n_parts)
-    attached = _attach_pair_payloads(cand, docs, "text", n_parts, pa.string())
     jac_schema = _PAIR_SCHEMA.append(pa.field("jaccard", pa.float64()))
+    raw = _lsh_raw_pairs(sigs_ds, n_parts)
+
+    # driver fast path: pairs (count-capped, tighter than minhash — the
+    # exact-Jaccard verify is a per-pair loop) + candidate texts
+    # (byte-capped) collect to the driver; shingle sets hash ONCE PER DOC
+    # (the exchange verify re-shingles per pair occurrence)
+    pairs_np = _pull_pairs(raw)
+    if pairs_np is not None and len(pairs_np) <= NGRAM_DRIVER_PAIR_CAP:
+        pulled = _pull_payloads(
+            np.unique(pairs_np), docs, "text", LSH_VERIFY_DRIVER_BYTES
+        )
+        if pulled is not None:
+            sorted_ids, texts = pulled
+            h, off = _batch_shingle_hashes(texts)
+            ia = np.searchsorted(sorted_ids, pairs_np[:, 0])
+            ib = np.searchsorted(sorted_ids, pairs_np[:, 1])
+            out_a, out_b, out_j = [], [], []
+            for k in range(len(pairs_np)):
+                sa = h[off[ia[k]] : off[ia[k] + 1]]
+                sb = h[off[ib[k]] : off[ib[k] + 1]]
+                ni = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - ni
+                j = ni / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(int(pairs_np[k, 0]))
+                    out_b.append(int(pairs_np[k, 1]))
+                    out_j.append(j)
+            return ray.data.from_arrow(
+                pa.table(
+                    {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j},
+                    schema=jac_schema,
+                )
+            )
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "dedup_ngram_jaccard: candidates exceed the driver caps; running "
+        "the bucketed-exchange verify"
+    )
+    cand = _minhash_candidates(sigs_ds, n_parts, raw=raw)
+    attached = _attach_pair_payloads(cand, docs, "text", n_parts, pa.string())
 
     def verify(batch: pd.DataFrame) -> pa.Table:
         if batch.empty:

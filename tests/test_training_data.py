@@ -74,6 +74,38 @@ def test_minhash_finds_planted_duplicates(ray_session, tmp_path):
     assert (100, 101) in found_sh or (100, 102) in found_sh
 
 
+def test_lsh_dedup_driver_and_exchange_paths_agree(ray_session, monkeypatch):
+    """Forcing the pair/payload caps to zero must reproduce the driver
+    fast-path answer through the bucketed-exchange verify, for both
+    dedup_minhash and dedup_ngram_jaccard."""
+    import osm_wikidata_ray.pipelines.training_data as td
+
+    def norm(df, cols):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    fast_mh = norm(td.dedup_minhash(SF).to_pandas(), ["doc_a", "doc_b"])
+    fast_nj = norm(
+        td.dedup_ngram_jaccard(SF).to_pandas(), ["doc_a", "doc_b", "jaccard"]
+    )
+    assert len(fast_mh) > 0  # the fixture plants near-dups
+
+    monkeypatch.setattr(td, "LSH_PAIR_DRIVER_CAP", -1)
+    monkeypatch.setattr(td, "NGRAM_DRIVER_PAIR_CAP", -1)
+    slow_mh = norm(td.dedup_minhash(SF).to_pandas(), ["doc_a", "doc_b"])
+    slow_nj = norm(
+        td.dedup_ngram_jaccard(SF).to_pandas(), ["doc_a", "doc_b", "jaccard"]
+    )
+    pd.testing.assert_frame_equal(fast_mh, slow_mh)
+    pd.testing.assert_frame_equal(fast_nj, slow_nj)
+
+    # byte-cap trip (pairs fit, payloads don't) exercises the third branch
+    monkeypatch.setattr(td, "LSH_PAIR_DRIVER_CAP", 2_000_000)
+    monkeypatch.setattr(td, "NGRAM_DRIVER_PAIR_CAP", 200_000)
+    monkeypatch.setattr(td, "LSH_VERIFY_DRIVER_BYTES", 0)
+    bytecap_mh = norm(td.dedup_minhash(SF).to_pandas(), ["doc_a", "doc_b"])
+    pd.testing.assert_frame_equal(fast_mh, bytecap_mh)
+
+
 def test_ann_topk_matches_bruteforce(ray_session):
     import pyarrow.parquet as pq
 
