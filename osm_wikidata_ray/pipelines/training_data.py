@@ -1329,12 +1329,17 @@ def _batch_simhash64(texts: list[str | None]) -> np.ndarray:
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
     """SimHash near-dup pairs via 4-segment pigeonhole blocking (any pair
-    within hamming ≤ 3 shares at least one exact 16-bit segment)."""
-    from ..stages.blocking import add_bucket
+    within hamming ≤ 3 shares at least one exact 16-bit segment).
+
+    Segment keys are int64 ((seg_id << 16) | segment bits — exact, not
+    hashed), the hamming verify runs in-bucket (the 8-byte sim rides the
+    segment rows), and the cross-segment pair dedup finishes on the driver
+    under LSH_PAIR_DRIVER_CAP with a groupby-exchange fallback."""
+    from ..stages.blocking import add_bucket_int
 
     n_parts = default_partitions()
     seg_schema = pa.schema(
-        [("seg_key", pa.string()), ("doc_id", pa.int64()), ("sim", pa.uint64())]
+        [("seg_key", pa.int64()), ("doc_id", pa.int64()), ("sim", pa.uint64())]
     )
 
     def sigs(batch: pa.Table) -> pa.Table:
@@ -1345,12 +1350,10 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
         segs = np.empty((n, 4), dtype=np.uint64)
         for seg in range(4):
             segs[:, seg] = (sims >> np.uint64(seg * 16)) & np.uint64(0xFFFF)
-        seg_ids = np.tile(np.arange(4), n)
-        keys = np.char.add(
-            np.char.add(seg_ids.astype("U1"), ":"), segs.ravel().astype("U5")
-        )
+        seg_ids = np.tile(np.arange(4, dtype=np.uint64), n)
+        keys = (seg_ids << np.uint64(16)) | segs.ravel()
         return pa.table(
-            {"seg_key": pa.array(keys.tolist(), pa.string()),
+            {"seg_key": pa.array(keys.view(np.int64), pa.int64()),
              "doc_id": pa.array(np.repeat(doc_ids, 4), pa.int64()),
              "sim": pa.array(np.repeat(sims, 4), pa.uint64())},
             schema=seg_schema,
@@ -1388,10 +1391,27 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(sigs, batch_format="pyarrow")
         .map_batches(
-            lambda b: add_bucket(b, "seg_key", n_parts * 4), batch_format="pyarrow"
+            lambda b: add_bucket_int(b, "seg_key", n_parts * 4),
+            batch_format="pyarrow",
         )
-        .groupby("bucket", num_partitions=n_parts)
+        .groupby("bucket_part", num_partitions=n_parts)
         .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()  # consumed by the driver pull and/or the fallback
+    )
+    pairs_np = _pull_pairs(pairs)
+    if pairs_np is not None:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_a": pa.array(pairs_np[:, 0], pa.int64()),
+                 "doc_b": pa.array(pairs_np[:, 1], pa.int64())},
+                schema=_PAIR_SCHEMA,
+            )
+        )
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "dedup_simhash: pairs exceed the driver cap; running the dedup "
+        "groupby exchange"
     )
     return pairs.groupby(["doc_a", "doc_b"], num_partitions=n_parts).count().select_columns(["doc_a", "doc_b"])
 
@@ -1562,6 +1582,41 @@ def dedup_embedding_cosine(
         )
         .groupby("bucket_part", num_partitions=n_parts)
         .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()  # consumed by the driver pull and/or the fallback
+    )
+    # cross-table dedup (max cos per pair) on the driver when the verified
+    # pairs fit under the count cap — skips the final all-to-all
+    parts: list[pd.DataFrame] = []
+    n = 0
+    for b in pairs.iter_batches(batch_format="pandas"):
+        n += len(b)
+        if n > LSH_PAIR_DRIVER_CAP:
+            parts.clear()
+            break
+        parts.append(b)
+    if n <= LSH_PAIR_DRIVER_CAP:
+        got = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                               "vec_b": pd.Series(dtype="int64"),
+                               "cos": pd.Series(dtype="float64")})
+        )
+        agg = (
+            got.groupby(["vec_a", "vec_b"], sort=False)["cos"].max()
+            .reset_index().rename(columns={"cos": "max(cos)"})
+        )
+        return ray.data.from_arrow(
+            pa.table({"vec_a": pa.array(agg["vec_a"].to_numpy(), pa.int64()),
+                      "vec_b": pa.array(agg["vec_b"].to_numpy(), pa.int64()),
+                      "max(cos)": pa.array(agg["max(cos)"].to_numpy(),
+                                           pa.float64())})
+        )
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "dedup_embedding_cosine: pairs exceed the driver cap; running the "
+        "max-cos groupby exchange"
     )
     return pairs.groupby(["vec_a", "vec_b"], num_partitions=n_parts).max("cos")
 

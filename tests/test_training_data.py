@@ -106,6 +106,24 @@ def test_lsh_dedup_driver_and_exchange_paths_agree(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(fast_mh, bytecap_mh)
 
 
+def test_simhash_and_cosine_driver_vs_exchange(ray_session, monkeypatch):
+    """dedup_simhash and dedup_embedding_cosine: forcing the pair cap to -1
+    must reproduce the driver fast-path answer via the groupby exchange."""
+    import osm_wikidata_ray.pipelines.training_data as td
+
+    def norm(df):
+        cols = list(df.columns)
+        return df.sort_values(cols).reset_index(drop=True)
+
+    fast_sh = norm(td.dedup_simhash(SF).to_pandas())
+    fast_ec = norm(td.dedup_embedding_cosine(SF).to_pandas())
+    monkeypatch.setattr(td, "LSH_PAIR_DRIVER_CAP", -1)
+    slow_sh = norm(td.dedup_simhash(SF).to_pandas())
+    slow_ec = norm(td.dedup_embedding_cosine(SF).to_pandas())
+    pd.testing.assert_frame_equal(fast_sh, slow_sh)
+    pd.testing.assert_frame_equal(fast_ec, slow_ec)
+
+
 def test_ann_topk_matches_bruteforce(ray_session):
     import pyarrow.parquet as pq
 
