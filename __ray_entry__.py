@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": lambda sf: td.chunk_docs(sf).sort(["doc_id", "chunk_id"]),
         "top_ngrams": lambda sf: td.top_ngrams(sf).sort(["cnt", "ngram"], descending=[True, False]),
         "dedup_exact": lambda sf: td.dedup_exact(sf).sort(["doc_id"]),
+        "contamination_check": lambda sf: td.contamination_check(sf).sort(
+            ["doc_id"]
+        ),
         "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
             ["doc_a", "doc_b"]
         ),
@@ -738,6 +741,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # test-set contamination: distinct 8-token windows of each training
+        # doc that appear verbatim in the heldout slice (doc_id % 10 = 7);
+        # the engine's broadcast fast path joins window TEXT (collision-free)
+        "contamination_check": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS p
+              FROM toks WHERE len(t) >= 8
+            ), w AS (
+              SELECT DISTINCT doc_id, array_to_string(t[p + 1 : p + 8], ' ') AS win
+              FROM pos
+            ), held AS (
+              SELECT DISTINCT win FROM w WHERE doc_id % 10 = 7
+            )
+            SELECT w.doc_id, count(*)::BIGINT AS n_hits
+            FROM w JOIN held USING (win)
+            WHERE w.doc_id % 10 <> 7
+            GROUP BY 1 ORDER BY doc_id
         """,
         # exact passage dedup: the oracle joins 16-token window TEXT at
         # stride-8 offsets (the engine joins 64-bit hashes of the same

@@ -2773,3 +2773,183 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).astype(
         {"label": "int64", "dim": "int64", "v": "float64"}
     )
+
+
+# --- test-set contamination ---
+
+CONTAM_BROADCAST_BYTES_CAP = 64 << 20  # heldout window-text broadcast cap
+
+
+def _stride1_window_texts(
+    batch: pa.Table, window: int
+) -> tuple[pa.Array, np.ndarray]:
+    """All stride-1 `window`-token windows of every text in the batch —
+    position-vectorized (one list_slice + binary_join kernel per offset,
+    the chunk_docs/dedup_passages kernel), no per-row loop.  Returns the
+    flat window-text array and the parallel doc_id array."""
+    toks = pc.split_pattern_regex(_ws_trim(batch.column("text")), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts: list[pa.Array] = []
+    docs: list[np.ndarray] = []
+    start = 0
+    while True:
+        idx = np.flatnonzero(n_tokens >= start + window)  # full windows only
+        if idx.size == 0:
+            break
+        sub = toks.take(pa.array(idx)) if idx.size < len(batch) else toks
+        win = pc.binary_join(pc.list_slice(sub, start, start + window), " ")
+        if isinstance(win, pa.ChunkedArray):
+            win = win.combine_chunks()
+        texts.append(win)
+        docs.append(doc_ids[idx])
+        start += 1
+    if not texts:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    return pa.concat_arrays(texts), np.concatenate(docs).astype(np.int64)
+
+
+def contamination_check(
+    sf_dir: str, window: int = 8, heldout_mod: int = 10, heldout_rem: int = 7
+) -> "ray.data.Dataset":
+    """Test-set contamination scan: for every training document, how many
+    of its DISTINCT `window`-token shingles appear verbatim in the heldout
+    slice (doc_id % heldout_mod == heldout_rem — the benchmark/eval set a
+    real pipeline holds out).  Emits (doc_id, n_hits) for contaminated
+    docs only.
+
+    Scale shape: the heldout side of a contamination check is a benchmark
+    suite — orders of magnitude smaller than the corpus — so its DISTINCT
+    window texts broadcast once via ray.put (byte-guarded) and the corpus
+    pass is shuffle-FREE: exact pc.is_in string membership per batch, and
+    because every doc's windows sit in the doc's own batch, the per-doc
+    distinct-hit count is final with no exchange.  Past
+    CONTAM_BROADCAST_BYTES_CAP the scan falls back to a thin int64
+    window-hash exchange (held rows ship doc_id = -1) with the in-bucket
+    membership test — the dedup_passages hash-join shape, same ~n²/2⁶⁵
+    collision disclosure (the broadcast fast path is collision-free)."""
+    n_parts = default_partitions()
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+
+    def is_held(ids: np.ndarray) -> np.ndarray:
+        return ids % heldout_mod == heldout_rem
+
+    def held_windows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(is_held(ids)))
+        texts, _docs = _stride1_window_texts(sub, window)
+        return pa.table({"win": pc.unique(texts)})
+
+    held = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        held_windows, batch_format="pyarrow"
+    )
+    # bounded driver collect of the heldout window-text set: stop the pull
+    # the moment the byte cap is crossed so driver memory stays bounded
+    parts: list[pa.Table] = []
+    nbytes = 0
+    for t in held.iter_batches(batch_format="pyarrow"):
+        nbytes += t.nbytes
+        if nbytes > CONTAM_BROADCAST_BYTES_CAP:
+            parts.clear()
+            break
+        parts.append(t)
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    if nbytes <= CONTAM_BROADCAST_BYTES_CAP:
+        held_arr = (
+            pc.unique(pa.concat_tables(parts).column("win").combine_chunks())
+            if parts
+            else pa.array([], pa.string())
+        )
+        held_ref = ray.put(held_arr)
+
+        def hits(batch: pa.Table) -> pa.Table:
+            arr = ray.get(held_ref)  # zero-copy shared-memory view
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            sub = batch.filter(pa.array(~is_held(ids)))
+            texts, docs = _stride1_window_texts(sub, window)
+            if len(texts) == 0 or len(arr) == 0:
+                return out_schema.empty_table()
+            m = pc.is_in(texts, value_set=arr).to_numpy(zero_copy_only=False)
+            if not m.any():
+                return out_schema.empty_table()
+            hit = (
+                pd.DataFrame(
+                    {"doc_id": docs[m],
+                     "win": texts.filter(pa.array(m)).to_numpy(
+                         zero_copy_only=False)}
+                )
+                .drop_duplicates()  # distinct windows per doc
+                .groupby("doc_id", sort=False)
+                .size()
+            )
+            return pa.table(
+                {"doc_id": pa.array(hit.index.to_numpy(), pa.int64()),
+                 "n_hits": pa.array(hit.to_numpy(), pa.int64())},
+                schema=out_schema,
+            )
+
+        # every doc's windows live in its own batch → per-batch counts are
+        # final; no shuffle at all on the corpus side
+        return corpus.map_batches(hits, batch_format="pyarrow")
+
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "contamination_check: heldout windows exceed the broadcast byte cap "
+        "(%d); falling back to the thin window-hash exchange",
+        CONTAM_BROADCAST_BYTES_CAP,
+    )
+    from ..stages.blocking import add_bucket_int
+
+    thin_schema = pa.schema([("whash", pa.int64()), ("doc_id", pa.int64())])
+
+    def thin(batch: pa.Table) -> pa.Table:
+        texts, docs = _stride1_window_texts(batch, window)
+        if len(texts) == 0:
+            return thin_schema.empty_table()
+        h = pd.util.hash_array(
+            texts.to_numpy(zero_copy_only=False), categorize=False
+        ).view(np.int64)
+        doc_held = is_held(docs)
+        out_docs = np.where(doc_held, -1, docs)
+        # per-batch (whash, doc) dedup shrinks the exchange
+        df = pd.DataFrame({"whash": h, "doc_id": out_docs}).drop_duplicates()
+        return pa.table(
+            {"whash": pa.array(df["whash"].to_numpy(), pa.int64()),
+             "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())},
+            schema=thin_schema,
+        )
+
+    def bucket_hits(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.drop_duplicates(["whash", "doc_id"])
+        held_h = df.loc[df["doc_id"] < 0, "whash"].to_numpy()
+        sub = df[(df["doc_id"] >= 0) & df["whash"].isin(held_h)]
+        if sub.empty:
+            return out_schema.empty_table()
+        cnt = sub.groupby("doc_id", sort=False).size()
+        return pa.table(
+            {"doc_id": pa.array(cnt.index.to_numpy(), pa.int64()),
+             "n_hits": pa.array(cnt.to_numpy(), pa.int64())},
+            schema=out_schema,
+        )
+
+    partials = (
+        corpus.map_batches(thin, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "whash", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(bucket_hits, batch_format="pandas")
+    )
+    agg = partials.groupby("doc_id", num_partitions=8).sum("n_hits")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "n_hits": b.column("sum(n_hits)")},
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    )

@@ -720,3 +720,18 @@ def test_top_customers_copartition_matches_broadcast(ray_session):
     alt = top_customers(SF, broadcast_cap=0).to_pandas().reset_index(drop=True)
     assert len(base) == 10
     pd.testing.assert_frame_equal(base, alt)
+
+
+def test_contamination_broadcast_vs_exchange(ray_session, monkeypatch):
+    """contamination_check: the thin hash-exchange fallback must reproduce
+    the broadcast string-membership fast path exactly."""
+    import osm_wikidata_ray.pipelines.training_data as td
+
+    def norm(df):
+        return df.sort_values(["doc_id"]).reset_index(drop=True)
+
+    fast = norm(td.contamination_check(SF).to_pandas())
+    assert len(fast) > 0  # non-vacuous on the fixture corpus
+    monkeypatch.setattr(td, "CONTAM_BROADCAST_BYTES_CAP", -1)
+    slow = norm(td.contamination_check(SF).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow)
