@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": lambda sf: td.contamination_check(sf).sort(
             ["doc_id"]
         ),
+        "repetition_stats": lambda sf: td.repetition_stats(sf).sort(["doc_id"]),
         "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
             ["doc_a", "doc_b"]
         ),
@@ -762,6 +763,29 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN held USING (win)
             WHERE w.doc_id % 10 <> 7
             GROUP BY 1 ORDER BY doc_id
+        """,
+        # Gopher-style repetition signals, all-integer (bit-exact oracle)
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                     len(list_distinct(t))::BIGINT AS n_distinct
+              FROM toks
+            ), bg AS (
+              SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS b
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(0, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 2)
+            ), bgc AS (
+              SELECT doc_id, max(c)::BIGINT AS top_bigram_cnt
+              FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+              GROUP BY 1
+            )
+            SELECT base.doc_id, n_tokens, n_distinct,
+                   coalesce(top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt
+            FROM base LEFT JOIN bgc USING (doc_id) ORDER BY doc_id
         """,
         # exact passage dedup: the oracle joins 16-token window TEXT at
         # stride-8 offsets (the engine joins 64-bit hashes of the same

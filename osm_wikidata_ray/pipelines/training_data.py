@@ -2953,3 +2953,68 @@ def contamination_check(
         ),
         batch_format="pyarrow",
     )
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    table A1: repetitious documents are low-quality training data): token
+    count, distinct-token count and the occurrence count of the most
+    frequent word bigram, per document.  All-integer output (the ratio
+    thresholds are a trivial driver-side filter), so the SQL oracle is
+    bit-exact.  Pure shuffle-free map: one split kernel + flatten, the
+    per-doc distinct/bigram counting runs on (parent, word) numpy/pandas
+    frames per batch — no per-row Python loop."""
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("n_distinct", pa.int64()), ("top_bigram_cnt", pa.int64())]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern_regex(_ws_trim(batch.column("text")), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tokens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        nd = (
+            pd.DataFrame({"p": parents, "w": words})
+            .drop_duplicates()
+            .groupby("p", sort=False)
+            .size()
+        )
+        n_distinct = np.zeros(n, np.int64)
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+        # adjacent-token bigrams never cross a document boundary
+        same = parents[1:] == parents[:-1]
+        top = np.zeros(n, np.int64)
+        if same.any():
+            cnt = (
+                pd.DataFrame(
+                    {"p": parents[1:][same], "a": words[:-1][same],
+                     "b": words[1:][same]}
+                )
+                .groupby(["p", "a", "b"], sort=False)
+                .size()
+                .groupby(level=0)
+                .max()
+            )
+            top[cnt.index.to_numpy()] = cnt.to_numpy()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(n_tokens, pa.int64()),
+             "n_distinct": pa.array(n_distinct, pa.int64()),
+             "top_bigram_cnt": pa.array(top, pa.int64())},
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
