@@ -424,6 +424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id"]
         ),
         "repetition_stats": lambda sf: td.repetition_stats(sf).sort(["doc_id"]),
+        # membership comparison like ann_topk: the BM25 score stays internal
+        "bm25_search": lambda sf: td.bm25_search(sf).sort(
+            ["query_id", "doc_id"]
+        ),
         "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
             ["doc_a", "doc_b"]
         ),
@@ -504,6 +508,17 @@ def _bpe_pattern_sql() -> str:
     # DuckDB standard string literals don't process backslash escapes —
     # only quotes need doubling
     return BPE_PATTERN.replace("'", "''")
+
+
+def _bm25_query_values() -> str:
+    """VALUES list (query_id, term) for the bm25_search oracle, derived from
+    the SAME query dict the engine uses (single source of truth)."""
+    from osm_wikidata_ray.pipelines.training_data import BM25_QUERIES
+
+    rows = []
+    for qid, q in BM25_QUERIES.items():
+        rows.extend(f"({qid}, '{t}')" for t in q.split())
+    return ", ".join(rows)
 
 
 def _lang_profile_values() -> str:
@@ -763,6 +778,50 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN held USING (win)
             WHERE w.doc_id % 10 <> 7
             GROUP BY 1 ORDER BY doc_id
+        """,
+        # BM25 top-10 membership per query (score internal, exact ties break
+        # by doc_id; idf/avgdl math mirrors the engine's float64 expression
+        # tree term-for-term)
+        "bm25_search": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(t) AS w FROM toks
+            ), dl AS (
+              SELECT doc_id, len(t)::DOUBLE AS dl FROM toks
+            ), const AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                     (SELECT sum(len(t)) FROM toks)::DOUBLE
+                       / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+            ), qterms(query_id, term) AS (
+              VALUES {_bm25_query_values()}
+            ), tf AS (
+              SELECT w.doc_id, q.query_id, q.term, count(*)::DOUBLE AS tf
+              FROM words w JOIN qterms q ON w.w = q.term
+              GROUP BY 1, 2, 3
+            ), dfr AS (
+              SELECT q.term, count(DISTINCT w.doc_id)::DOUBLE AS df
+              FROM words w JOIN qterms q ON w.w = q.term
+              GROUP BY 1
+            ), scores AS (
+              SELECT tf.query_id, tf.doc_id,
+                     sum(ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5))
+                         * tf.tf * (1.2 + 1) /
+                         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+                        ) AS score
+              FROM tf JOIN dfr ON tf.term = dfr.term
+                      JOIN dl ON tf.doc_id = dl.doc_id
+                      CROSS JOIN const c
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id FROM (
+              SELECT query_id, doc_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                     ) AS rn
+              FROM scores
+            ) WHERE rn <= 10 ORDER BY query_id, doc_id
         """,
         # Gopher-style repetition signals, all-integer (bit-exact oracle)
         "repetition_stats": """

@@ -3018,3 +3018,140 @@ def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+# --- keyword retrieval (BM25) ---
+
+# fixed benchmark query set; the SQL oracle derives its VALUES list from
+# this dict (single source of truth, like the lang_id profiles)
+BM25_QUERIES: dict[int, str] = {
+    0: "spark join performance",
+    1: "window merge sort",
+    2: "customer data stream",
+}
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """BM25 keyword top-k over the corpus — the lexical complement to the
+    embedding ANN ops (Robertson & Zaragoza 2009; the idf is the
+    always-positive ln(1 + (N - df + ½)/(df + ½)) variant).
+
+    Train-then-apply shape like lm_score, but the trained state here is a
+    HANDFUL of floats: pass 1 streams ONE tiny partial row per batch
+    (per-term df vector + Σdl + N — docs never straddle batches, so
+    per-batch distinct-doc term counts sum to the global df) and the
+    driver folds them; pass 2 broadcasts (idf, avgdl) and scores every doc
+    vectorized (one is_in + bincount-style tf matrix per batch), keeping a
+    per-batch partial top-k per query so the driver's final merge sees
+    O(k · batches) rows.  Score membership is what the oracle compares
+    (exact ties break by doc_id; both engines evaluate the same float64
+    expression tree).  No shuffle anywhere."""
+    terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    t_index = {t: i for i, t in enumerate(terms)}
+    term_arr = pa.array(terms, pa.string())
+    q_term_idx = {
+        qid: np.array([t_index[t] for t in q.split()], np.int64)
+        for qid, q in BM25_QUERIES.items()
+    }
+    nt = len(terms)
+
+    def tokens_of(batch: pa.Table):
+        toks = pc.split_pattern_regex(_ws_trim(batch.column("text")), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        words = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return words, parents, dl
+
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        words, parents, dl = tokens_of(batch)
+        m = pc.is_in(words, value_set=term_arr).to_numpy(zero_copy_only=False)
+        vec = np.zeros(nt, np.int64)
+        if m.any():
+            hits = (
+                pd.DataFrame(
+                    {"p": parents[m],
+                     "w": words.filter(pa.array(m)).to_numpy(
+                         zero_copy_only=False)}
+                )
+                .drop_duplicates()["w"]
+                .value_counts()
+            )
+            for w, c in hits.items():
+                vec[t_index[w]] = int(c)
+        return pa.table(
+            {"df": pa.array([vec.tolist()], pa.list_(pa.int64())),
+             "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+             "n_docs": pa.array([len(batch)], pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial_stats, batch_format="pyarrow")
+        .to_pandas()  # one tiny row per batch
+    )
+    df_vec = np.sum(np.stack(parts["df"].to_numpy()), axis=0).astype(np.float64)
+    n_total = float(parts["n_docs"].sum())
+    # Σdl is an exact int64, so sum/N is bit-identical to the SQL division
+    avgdl = float(int(parts["sum_dl"].sum())) / n_total
+    idf = np.log(1.0 + (n_total - df_vec + 0.5) / (df_vec + 0.5))
+    params_ref = ray.put((idf, avgdl))
+
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("doc_id", pa.int64()),
+         ("score", pa.float64())]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(params_ref)
+        words, parents, dl = tokens_of(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = len(batch)
+        m = pc.is_in(words, value_set=term_arr).to_numpy(zero_copy_only=False)
+        tf = np.zeros((n, nt), np.float64)
+        if m.any():
+            codes = pd.Categorical(
+                words.filter(pa.array(m)).to_numpy(zero_copy_only=False),
+                categories=terms,
+            ).codes.astype(np.int64)
+            np.add.at(tf, (parents[m], codes), 1.0)
+        # same float64 expression tree as the SQL oracle, term by term
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[:, None] / avgdl_)
+        contrib = idf_ * tf * (BM25_K1 + 1.0) / denom
+        rows = {"query_id": [], "doc_id": [], "score": []}
+        for qid, tidx in q_term_idx.items():
+            qscore = contrib[:, tidx].sum(axis=1)
+            cand = np.flatnonzero(tf[:, tidx].sum(axis=1) > 0)
+            if cand.size == 0:
+                continue
+            order = cand[np.lexsort((ids[cand], -qscore[cand]))][:k]
+            rows["query_id"].extend([qid] * len(order))
+            rows["doc_id"].extend(ids[order].tolist())
+            rows["score"].extend(qscore[order].tolist())
+        return pa.Table.from_pydict(rows, schema=out_schema)
+
+    partial_topk = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()  # O(k · queries · batches) rows
+    )
+    final = (
+        partial_topk.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {"query_id": pa.array(final["query_id"].to_numpy(), pa.int64()),
+             "doc_id": pa.array(final["doc_id"].to_numpy(), pa.int64())}
+        )
+    )
