@@ -428,6 +428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": lambda sf: td.bm25_search(sf).sort(
             ["query_id", "doc_id"]
         ),
+        "tfidf_top_terms": lambda sf: td.tfidf_top_terms(sf).sort(
+            ["doc_id", "rank"]
+        ),
         "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
             ["doc_a", "doc_b"]
         ),
@@ -822,6 +825,32 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM scores
             ) WHERE rn <= 10 ORDER BY query_id, doc_id
+        """,
+        # per-doc top-3 tf-idf terms; scores are single products tf·ln(N/df)
+        # (no summation), so both engines rank bit-identical doubles
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(t) AS w FROM toks
+            ), tf AS (
+              SELECT doc_id, w, count(*)::DOUBLE AS tf FROM words GROUP BY 1, 2
+            ), dfr AS (
+              SELECT w, count(DISTINCT doc_id)::DOUBLE AS df FROM words GROUP BY 1
+            ), s AS (
+              SELECT tf.doc_id, tf.w,
+                     tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfr.df) AS score
+              FROM tf JOIN dfr ON tf.w = dfr.w
+            ), r AS (
+              SELECT doc_id, w,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, w
+                     ) AS rank
+              FROM s
+            )
+            SELECT doc_id, rank::BIGINT AS rank, w AS term
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         # Gopher-style repetition signals, all-integer (bit-exact oracle)
         "repetition_stats": """

@@ -735,3 +735,18 @@ def test_contamination_broadcast_vs_exchange(ray_session, monkeypatch):
     monkeypatch.setattr(td, "CONTAM_BROADCAST_BYTES_CAP", -1)
     slow = norm(td.contamination_check(SF).to_pandas())
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_tfidf_broadcast_vs_copartition(ray_session, monkeypatch):
+    """tfidf_top_terms: the co-partitioned exchange fallback must reproduce
+    the df-broadcast fast path exactly."""
+    import osm_wikidata_ray.pipelines.training_data as td
+
+    def norm(df):
+        return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    fast = norm(td.tfidf_top_terms(SF).to_pandas())
+    assert len(fast) > 0
+    monkeypatch.setattr(td, "TFIDF_VOCAB_BROADCAST_CAP", -1)
+    slow = norm(td.tfidf_top_terms(SF).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow)
