@@ -2547,33 +2547,40 @@ def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
     )
     model_ref = ray.put((logp, float(np.log(1.0 / total))))
 
-    class Score:
-        def __init__(self) -> None:
-            self.logp, self.oov = ray.get(model_ref)
+    # task stage, not an actor pool: the model is one top-V Series behind a
+    # ray.put ref — ray.get per task is a zero-copy shared-memory read and
+    # the per-process cache makes it one deserialization per worker, so
+    # tasks avoid the actor-pool ramp (2 s of actor startup dominated the
+    # apply pass) and the stage scales to every core
+    def score(batch: pa.Table) -> pa.Table:
+        state = _enrich_cache.get(model_ref.hex())
+        if state is None:
+            state = ray.get(model_ref)
+            _enrich_cache.clear()
+            _enrich_cache[model_ref.hex()] = state
+        logp_, oov = state
+        words, parents, keep = tokens_of(batch)
+        lp = (
+            pd.Series(words.to_pandas()[keep])
+            .map(logp_)
+            .fillna(oov)
+            .to_numpy(dtype=np.float64)
+        )
+        par = parents[keep]
+        n = len(batch)
+        sums = np.zeros(n, np.float64)
+        cnts = np.zeros(n, np.int64)
+        np.add.at(sums, par, lp)
+        np.add.at(cnts, par, 1)
+        has = cnts > 0
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
+        avg = np.round(sums[has] / cnts[has], 4)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "avg_logprob": pa.array(avg, pa.float64())}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            words, parents, keep = tokens_of(batch)
-            lp = (
-                pd.Series(words.to_pandas()[keep])
-                .map(self.logp)
-                .fillna(self.oov)
-                .to_numpy(dtype=np.float64)
-            )
-            par = parents[keep]
-            n = len(batch)
-            sums = np.zeros(n, np.float64)
-            cnts = np.zeros(n, np.int64)
-            np.add.at(sums, par, lp)
-            np.add.at(cnts, par, 1)
-            has = cnts > 0
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
-            avg = np.round(sums[has] / cnts[has], 4)
-            return pa.table(
-                {"doc_id": pa.array(ids, pa.int64()),
-                 "avg_logprob": pa.array(avg, pa.float64())}
-            )
-
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def dedup_passages(
