@@ -1438,34 +1438,34 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> "ray.data.Dataset"
     # float64 to match the DuckDB list_cosine_similarity oracle bit-for-bit
     # at 4-decimal rounding
     q = np.stack(qt.column("embedding").to_pylist()).astype(np.float64)
-    q_ref = ray.put((q_ids, q))
+    # normalize ONCE on the driver; tasks read the ref zero-copy (the r3
+    # actor pool spent more on ramp than the matmuls it amortized)
+    qn = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-30)
+    q_ref = ray.put((np.asarray(q_ids, np.int64), qn))
 
-    class Score:
-        def __init__(self) -> None:
-            self.q_ids, self.q = ray.get(q_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
-            qn = self.q / (np.linalg.norm(self.q, axis=1, keepdims=True) + 1e-30)
-            vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
-            sims = qn @ vn.T  # (n_queries, batch)
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            out = {"query_id": [], "vec_id": [], "cos": []}
-            top = min(k, sims.shape[1])
-            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-            for qi, q_id in enumerate(self.q_ids):
-                for j in part[qi]:
-                    out["query_id"].append(q_id)
-                    out["vec_id"].append(int(ids[j]))
-                    out["cos"].append(float(sims[qi, j]))
-            return pa.table(
-                {"query_id": pa.array(out["query_id"], pa.int64()),
-                 "vec_id": pa.array(out["vec_id"], pa.int64()),
-                 "cos": pa.array(out["cos"], pa.float64())}
-            )
+    def score(batch: pa.Table) -> pa.Table:
+        state = _enrich_cache.get(q_ref.hex())
+        if state is None:
+            state = ray.get(q_ref)
+            _enrich_cache.clear()
+            _enrich_cache[q_ref.hex()] = state
+        q_ids_, qn_ = state
+        vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
+        vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+        sims = qn_ @ vn.T  # (n_queries, batch)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        top = min(k, sims.shape[1])
+        part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        return pa.table(
+            {"query_id": pa.array(np.repeat(q_ids_, top), pa.int64()),
+             "vec_id": pa.array(ids[part.ravel()].astype(np.int64), pa.int64()),
+             "cos": pa.array(
+                 np.take_along_axis(sims, part, axis=1).ravel(), pa.float64()
+             )}
+        )
 
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        Score, batch_format="pyarrow", concurrency=(1, 4)
+        score, batch_format="pyarrow"
     )
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
@@ -1504,18 +1504,15 @@ def dedup_embedding_cosine(
         planes_per_table = _lsh_planes_for(ds.count())  # parquet metadata count
     p = planes_per_table
 
-    class Sigs:
-        def __init__(self) -> None:
-            self.planes: np.ndarray | None = None  # lazily sized to dim
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    # task stage: the per-call state (one (dim, tables·p) float32 plane
+    # matrix, seed 7) regenerates in ~µs — cheaper than actor-pool ramp
+    def sigs(batch: pa.Table) -> pa.Table:
             vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float32)
             n = len(batch)
-            if self.planes is None:
-                self.planes = np.random.RandomState(7).standard_normal(
-                    (vecs.shape[1], n_tables * p)
-                ).astype(np.float32)
-            bits = (vecs @ self.planes) > 0  # (n, tables*p)
+            planes = np.random.RandomState(7).standard_normal(
+                (vecs.shape[1], n_tables * p)
+            ).astype(np.float32)
+            bits = (vecs @ planes) > 0  # (n, tables*p)
             pow2 = (np.uint64(1) << np.arange(p, dtype=np.uint64))
             keys = np.empty((n, n_tables), dtype=np.int64)
             for t in range(n_tables):
@@ -1575,7 +1572,7 @@ def dedup_embedding_cosine(
 
     n_parts = default_partitions()
     pairs = (
-        ds.map_batches(Sigs, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(sigs, batch_format="pyarrow")
         .map_batches(
             lambda b: add_bucket_int(b, "bucket", n_parts * 4),
             batch_format="pyarrow",
@@ -1689,21 +1686,24 @@ def ann_topk_ivf(
     # query → probed-list membership mask, broadcast once
     state_ref = ray.put((q_ids, qn, refined, probe_lists))
 
-    class Probe:
-        def __init__(self) -> None:
-            self.q_ids, self.qn, self.centroids, self.probe = ray.get(state_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    # task stage with a per-process state cache (actor ramp > state cost)
+    def probe_batch(batch: pa.Table) -> pa.Table:
+            state = _enrich_cache.get(state_ref.hex())
+            if state is None:
+                state = ray.get(state_ref)
+                _enrich_cache.clear()
+                _enrich_cache[state_ref.hex()] = state
+            q_ids_, qn_, centroids, probe = state
             vecs = list_column_to_matrix(batch.column("embedding")).astype(
                 np.float64
             )
             vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
-            assign = np.argmax(vn @ self.centroids.T, axis=1)
+            assign = np.argmax(vn @ centroids.T, axis=1)
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             out = {"query_id": [], "vec_id": [], "cos": []}
-            sims = self.qn @ vn.T  # (queries, batch)
-            for qi, q_id in enumerate(self.q_ids):
-                in_probe = np.isin(assign, self.probe[qi])
+            sims = qn_ @ vn.T  # (queries, batch)
+            for qi, q_id in enumerate(q_ids_):
+                in_probe = np.isin(assign, probe[qi])
                 if not in_probe.any():
                     continue
                 idx = np.flatnonzero(in_probe)
@@ -1723,7 +1723,7 @@ def ann_topk_ivf(
                 ),
             )
 
-    partials = ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
+    partials = ds.map_batches(probe_batch, batch_format="pyarrow")
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
