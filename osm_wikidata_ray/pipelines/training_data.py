@@ -2162,14 +2162,17 @@ def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dat
     labels = connected_components(pairs)
 
     def clean(batch: pa.Table) -> pa.Table:
-        import re as _re
-
-        docs = []
-        for n in batch.column("node").to_pylist():
-            m = _re.match(r"^(?:doc/)?(\d+)$", n)
-            docs.append(int(m.group(1)) if m else -1)
+        # vectorized "doc/123" → 123 (invalid labels → -1, as before)
+        digits = pc.replace_substring_regex(
+            batch.column("node"), r"^(?:doc/)?(\d+)$", r"\1"
+        )
+        ok = pc.match_substring_regex(digits, r"^\d+$")
+        docs = pc.if_else(
+            ok, pc.cast(pc.if_else(ok, digits, "0"), pa.int64()),
+            pa.scalar(-1, pa.int64()),
+        )
         return pa.table(
-            {"doc_id": pa.array(docs, pa.int64()),
+            {"doc_id": docs,
              "cluster_id": batch.column("cluster_id")}
         )
 
