@@ -750,3 +750,70 @@ def test_tfidf_broadcast_vs_copartition(ray_session, monkeypatch):
     monkeypatch.setattr(td, "TFIDF_VOCAB_BROADCAST_CAP", -1)
     slow = norm(td.tfidf_top_terms(SF).to_pandas())
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    """Known token/distinct/bigram counts on hand-built docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b a", "lang": "en", "source": "s", "n_chars": 9},
+        {"doc_id": 1, "text": "x y z", "lang": "en", "source": "s", "n_chars": 5},
+        {"doc_id": 2, "text": "  w  ", "lang": "en", "source": "s", "n_chars": 5},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = (
+        repetition_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: 5 tokens, 2 distinct, "a b" occurs twice
+    assert tuple(out.loc[0]) == (5, 2, 2)
+    # doc 1: all distinct, each bigram once
+    assert tuple(out.loc[1]) == (3, 3, 1)
+    # doc 2: edge whitespace trims to one token, no bigram
+    assert tuple(out.loc[2]) == (1, 1, 0)
+
+
+def test_bm25_ranks_planted_docs(ray_session, tmp_path):
+    """A doc saturated with a query's terms must outrank one with a single
+    occurrence; docs with no query terms must not appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import bm25_search
+
+    rows = [
+        {"doc_id": 0, "text": "spark join spark join spark join", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 1, "text": "spark alpha beta gamma delta epsilon zeta eta", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": "nothing relevant here at all", "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = bm25_search(str(tmp_path)).to_pandas()
+    q0 = set(out[out.query_id == 0].doc_id)
+    assert q0 == {0, 1}  # doc 2 matches no query-0 term
+    assert 2 not in set(out.doc_id) or not (out[out.doc_id == 2].query_id == 0).any()
+
+
+def test_contamination_counts_planted(ray_session, tmp_path):
+    """A training doc sharing an exact 8-token window with a heldout doc
+    (doc_id % 10 == 7) is flagged with the distinct-window count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import contamination_check
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        {"doc_id": 7, "text": f"held prefix {shared} held suffix", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": f"train starts {shared} train ends", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 4, "text": "totally unrelated training document with plenty of words here", "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = contamination_check(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 3 in out.index and out.loc[3, "n_hits"] >= 1
+    assert 4 not in out.index and 7 not in out.index
