@@ -2250,12 +2250,22 @@ def shipping_priority(
         rev = pc.multiply(
             t.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), t.column("l_discount")),
-        )
-        m = len(t)
+        ).to_numpy(zero_copy_only=False)
+        # combiner: partial revenue sum per orderkey BEFORE the exchange —
+        # TPC-H has ~4 lineitems per order, so the all-to-all ships ~4×
+        # fewer rows; the in-bucket groupby re-sums the partials (the final
+        # round(2) is the only rounding site, and the ~1e-13 float
+        # reassociation sits far inside the 5e-3 rounding boundary)
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks, rs = keys[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        psum = np.add.reduceat(rs, starts) if len(ks) else rs
+        m = len(starts) if len(ks) else 0
         return pa.table(
-            {"orderkey": t.column("l_orderkey"),
+            {"orderkey": pa.array(ks[starts] if m else ks, pa.int64()),
              "o_orderdate": pa.nulls(m, pa.timestamp("us")),
-             "revenue": rev,
+             "revenue": pa.array(psum, pa.float64()),
              "is_order": pa.array(np.zeros(m, dtype=bool))},
             schema=union_schema,
         )
