@@ -2012,12 +2012,24 @@ def top_customers(
                 _enrich_cache.clear()
                 _enrich_cache[cust_ref.hex()] = state
             names, nations = state
+            # combiner: partial price sum per custkey BEFORE enriching, so
+            # the string-keyed groupby exchange ships one row per distinct
+            # customer per batch instead of one per order (~10× fewer rows;
+            # the 2-dp rounding happens once, after the final sum)
             keys = batch.column("o_custkey").to_numpy()
+            prices = batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False
+            )
+            order = np.argsort(keys, kind="stable")
+            ks, ps = keys[order], prices[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            psum = np.add.reduceat(ps, starts) if len(ks) else ps
+            uk = ks[starts] if len(ks) else ks
             return pa.table(
                 {
-                    "c_name": pa.array(names.reindex(keys, fill_value="")),
-                    "n_name": pa.array(nations.reindex(keys, fill_value="")),
-                    "o_totalprice": batch.column("o_totalprice"),
+                    "c_name": pa.array(names.reindex(uk, fill_value="")),
+                    "n_name": pa.array(nations.reindex(uk, fill_value="")),
+                    "o_totalprice": pa.array(psum, pa.float64()),
                 }
             )
 
