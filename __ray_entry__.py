@@ -431,6 +431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": lambda sf: td.tfidf_top_terms(sf).sort(
             ["doc_id", "rank"]
         ),
+        "dedup_normalized": lambda sf: td.dedup_normalized(sf).sort(["doc_id"]),
+        "q_events_sliding": lambda sf: td.events_sliding(sf).sort(
+            ["window_start", "event_type"]
+        ),
         "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
             ["doc_a", "doc_b"]
         ),
@@ -760,6 +764,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # C4-style normalized dedup: same min-doc-per-key contract as
+        # dedup_exact, key = the RE2-normalized text (both engines run RE2)
+        "dedup_normalized": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY regexp_replace(regexp_replace(regexp_replace(
+                       lower(text), '[^a-zA-Z0-9 ]', '', 'g'),
+                       '\\s+', ' ', 'g'), '^\\s+|\\s+$', '', 'g')
+            ORDER BY doc_id
+        """,
+        # sliding 60-min window every 15 min: each event lands in 4 slots
+        "q_events_sliding": """
+            WITH s AS (
+              SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - u.k * INTERVAL '15 minutes' AS window_start,
+                     event_type, value
+              FROM events, unnest([0, 1, 2, 3]) AS u(k)
+            )
+            SELECT window_start, event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # test-set contamination: distinct 8-token windows of each training
         # doc that appear verbatim in the heldout slice (doc_id % 10 = 7);

@@ -817,3 +817,28 @@ def test_contamination_counts_planted(ray_session, tmp_path):
     out = contamination_check(str(tmp_path)).to_pandas().set_index("doc_id")
     assert 3 in out.index and out.loc[3, "n_hits"] >= 1
     assert 4 not in out.index and 7 not in out.index
+
+
+def test_dedup_normalized_collapses_variants(ray_session, tmp_path):
+    """Case/punctuation/whitespace variants collapse to the min doc_id;
+    genuinely different texts survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import (
+        dedup_exact,
+        dedup_normalized,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "Hello, World!", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 1, "text": "hello   world", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": " HELLO WORLD. ", "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": "another doc", "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    norm = sorted(dedup_normalized(str(tmp_path)).to_pandas()["doc_id"])
+    assert norm == [0, 3]
+    # exact dedup keeps all four (the raw texts differ)
+    exact = sorted(dedup_exact(str(tmp_path)).to_pandas()["doc_id"])
+    assert exact == [0, 1, 2, 3]
