@@ -435,6 +435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sliding": lambda sf: td.events_sliding(sf).sort(
             ["window_start", "event_type"]
         ),
+        "q_daily_active_users": lambda sf: td.daily_active_users(sf).sort(
+            ["day"]
+        ),
         "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
             ["doc_a", "doc_b"]
         ),
@@ -786,6 +789,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # exact distinct-count per day (no sketch — exactness is the oracle)
+        "q_daily_active_users": """
+            SELECT date_trunc('day', ts) AS day,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # test-set contamination: distinct 8-token windows of each training
         # doc that appear verbatim in the heldout slice (doc_id % 10 = 7);

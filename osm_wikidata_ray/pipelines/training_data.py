@@ -3457,3 +3457,67 @@ def events_sliding(
         ),
         batch_format="pyarrow",
     )
+
+
+def daily_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT user) per calendar day — the distributed
+    distinct-count pattern: per-batch (day, user) dedup shrinks the rows,
+    ONE exchange co-locates every copy of a (day, user) pair by mixing both
+    into an int64 bucket key (a pair's rows always land together, so the
+    in-bucket pandas distinct is globally exact), per-bucket partial
+    distinct counts per day, and a final groupby bounded by distinct days.
+    No HyperLogLog approximation: exactness is the point of the oracle."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+    out_schema = pa.schema([("day", pa.timestamp("us")), ("n_users", pa.int64())])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day").to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]")
+        users = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"day": day, "user_id": users}).drop_duplicates()
+        # one int64 key mixing (day, user) so equal pairs share a bucket
+        key = (
+            pd.util.hash_array(df["day"].to_numpy().view(np.int64), categorize=False)
+            ^ pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+        ).view(np.int64)
+        return pa.table(
+            {"pair_key": pa.array(key, pa.int64()),
+             "day": pa.array(df["day"], pa.timestamp("us")),
+             "user_id": pa.array(df["user_id"].to_numpy(), pa.int64())}
+        )
+
+    def bucket_counts(bucket: pd.DataFrame) -> pa.Table:
+        d = bucket.drop_duplicates(["day", "user_id"])
+        cnt = d.groupby("day", sort=False).size()
+        return pa.table(
+            {"day": pa.array(
+                cnt.index.to_numpy().astype("datetime64[us]"),
+                pa.timestamp("us")),
+             "n_users": pa.array(cnt.to_numpy(), pa.int64())},
+            schema=out_schema,
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "pair_key", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("day", num_partitions=8)
+        .sum("n_users")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"day": b.column("day"), "n_users": b.column("sum(n_users)")},
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    )
