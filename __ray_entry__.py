@@ -787,7 +787,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, event_type,
                    count(*)::BIGINT AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   round(sum(value) * 100) / 100 AS sum_value
             FROM s GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # exact distinct-count per day (no sketch — exactness is the oracle)

@@ -3447,16 +3447,22 @@ def events_sliding(
         .groupby(["window_start", "event_type"], num_partitions=8)
         .sum(["n_events", "sum_value"])
     )
-    return agg.map_batches(
-        lambda b: pa.table(
+    def finish(b: pa.Table) -> pa.Table:
+        # bit-exact float output: go through integer cents (np.rint) and
+        # divide — k/100.0 is the same double in numpy and DuckDB, whereas
+        # Arrow's round(x, 2) and DuckDB's round can differ by 1 ulp, which
+        # flips row order under the driver's sort-then-round normalization
+        s = b.column("sum(sum_value)").to_numpy(zero_copy_only=False)
+        cents = np.rint(s * 100.0)
+        return pa.table(
             {"window_start": b.column("window_start"),
              "event_type": b.column("event_type"),
              "n_events": b.column("sum(n_events)"),
-             "sum_value": pc.round(b.column("sum(sum_value)"), 2)},
+             "sum_value": pa.array(cents / 100.0, pa.float64())},
             schema=out_schema,
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def daily_active_users(sf_dir: str) -> "ray.data.Dataset":
