@@ -62,3 +62,32 @@ def test_all_oracles_match(ray_session, duck):
             if not ok:
                 failures.append(f"{name}: column {c} differs")
     assert not failures, failures
+
+
+def test_float_first_sort_columns_bit_exact(ray_session, duck):
+    """The driver sorts rows on ALL columns BEFORE rounding floats; queries
+    whose float column alphabetically precedes their unique key (lm_score's
+    avg_logprob, q_events_sliding's n_events/sum_value tie chains) therefore
+    need the float values BIT-identical across engines, not just within
+    1e-9 — a 1-ulp Arrow-vs-DuckDB rounding skew reorders tied rows and
+    fails the hash.  Run at sf0.01 where ties actually occur."""
+    import __ray_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    cases = {
+        "lm_score": (["doc_id"], "avg_logprob"),
+        "q_events_sliding": (["window_start", "event_type"], "sum_value"),
+    }
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for name, (keys, float_col) in cases.items():
+        a = queries[name](sf).to_pandas().sort_values(keys).reset_index(drop=True)
+        b = con.sql(oracles[name]).df().sort_values(keys).reset_index(drop=True)
+        av = a[float_col].to_numpy()
+        bv = b[float_col].to_numpy()
+        assert (av.view("int64") == bv.view("int64")).all(), name
