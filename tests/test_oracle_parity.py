@@ -82,6 +82,9 @@ def test_float_first_sort_columns_bit_exact(ray_session, duck):
     cases = {
         "lm_score": (["doc_id"], "avg_logprob"),
         "q_events_sliding": (["window_start", "event_type"], "sum_value"),
+        "dedup_embedding_cosine": (["vec_a", "vec_b"], "max(cos)"),
+        "dedup_embedding_exact": (["vec_a", "vec_b"], "cos"),
+        "q_sessionize": (["user_id", "session_no"], "sum_value"),
     }
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
