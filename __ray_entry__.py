@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_daily_active_users": lambda sf: td.daily_active_users(sf).sort(
             ["day"]
         ),
+        "pack_sequences": lambda sf: td.pack_sequences(sf).sort(["doc_id"]),
         "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
             ["doc_a", "doc_b"]
         ),
@@ -789,6 +790,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value) * 100) / 100 AS sum_value
             FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # sequence packing: floor(exclusive token prefix / 256) in doc order
+        # (distributed prefix sum; all-integer, bit-exact oracle)
+        "pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                     len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))::BIGINT AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS prefix
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, (prefix // 256)::BIGINT AS pack_id
+            FROM p ORDER BY doc_id
         """,
         # exact distinct-count per day (no sketch — exactness is the oracle)
         "q_daily_active_users": """

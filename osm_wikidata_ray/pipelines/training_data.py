@@ -3527,3 +3527,93 @@ def daily_active_users(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def pack_sequences(
+    sf_dir: str, budget: int = 256, bucket_width: int = 4096
+) -> "ray.data.Dataset":
+    """Training-sequence packing assignment — the distributed PREFIX-SUM
+    pattern: docs in doc_id order are laid head-to-tail and each doc joins
+    pack floor(exclusive_token_prefix / budget) (contiguous packing with a
+    closed form, so the SQL window-function oracle is exact; all-integer
+    output).
+
+    Scale shape: doc_ids range-bucket by doc_id // bucket_width, pass 1
+    streams ONE (bucket, token_sum) partial per bucket per batch and the
+    driver folds the bounded bucket table (n_docs / bucket_width rows)
+    into exclusive per-bucket offsets broadcast via ray.put; pass 2
+    co-locates each bucket's rows with ONE thin (doc_id, n_tokens, bucket)
+    exchange and finishes the intra-bucket cumsum locally.  Nothing
+    unbounded ever reaches the driver; the exchange carries three int64s
+    per doc."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("pack_id", pa.int64())]
+    )
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(_ws_trim(batch.column("text")), r"\s+")
+        n_tokens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(n_tokens, pa.int64()),
+             "bucket": pa.array(ids // bucket_width, pa.int64())}
+        )
+
+    rows = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tok_rows, batch_format="pyarrow"
+    ).materialize()  # consumed twice: bucket totals + the assignment pass
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {"bucket": batch.column("bucket").to_numpy(zero_copy_only=False),
+                 "n": batch.column("n_tokens").to_numpy(zero_copy_only=False)}
+            )
+            .groupby("bucket", sort=False)["n"].sum()
+        )
+        return pa.table(
+            {"bucket": pa.array(df.index.to_numpy(), pa.int64()),
+             "n": pa.array(df.to_numpy(), pa.int64())}
+        )
+
+    # bounded driver fold: one row per (bucket × batch), buckets are
+    # n_docs / bucket_width
+    parts = rows.map_batches(bucket_partial, batch_format="pyarrow").to_pandas()
+    totals = parts.groupby("bucket", sort=True)["n"].sum()
+    offsets = totals.cumsum().shift(fill_value=0)  # exclusive prefix
+    off_ref = ray.put(offsets)
+
+    def assign(bucket_df: pd.DataFrame) -> pa.Table:
+        offs = ray.get(off_ref)
+        out_ids, out_n, out_pack = [], [], []
+        for b, g in bucket_df.groupby("bucket", sort=False):
+            g = g.sort_values("doc_id")
+            n = g["n_tokens"].to_numpy()
+            prefix = int(offs.loc[b]) + np.concatenate([[0], np.cumsum(n)[:-1]])
+            out_ids.append(g["doc_id"].to_numpy())
+            out_n.append(n)
+            out_pack.append(prefix // budget)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+             "n_tokens": pa.array(np.concatenate(out_n), pa.int64()),
+             "pack_id": pa.array(np.concatenate(out_pack), pa.int64())},
+            schema=out_schema,
+        )
+
+    return (
+        rows.map_batches(
+            lambda b: add_bucket_int(b, "bucket", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(assign, batch_format="pandas")
+    )
