@@ -3418,7 +3418,6 @@ def events_sliding(
         ).to_numpy(zero_copy_only=False)
         types = batch.column("event_type").to_numpy(zero_copy_only=False)
         vals = batch.column("value").to_numpy(zero_copy_only=False)
-        n = len(batch)
         offs = (
             np.arange(n_rep, dtype="timedelta64[m]") * slide_min
         ).astype("timedelta64[us]")
