@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["day"]
         ),
         "pack_sequences": lambda sf: td.pack_sequences(sf).sort(["doc_id"]),
+        "mixture_sample": lambda sf: td.mixture_sample(sf).sort(["doc_id"]),
         "dedup_passages": lambda sf: td.dedup_passages(sf).sort(
             ["doc_a", "doc_b"]
         ),
@@ -790,6 +791,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value) * 100) / 100 AS sum_value
             FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # weighted data mixing: per-source quota (suffix % 4)·3 + 2, same
+        # seedless md5 draw as stratified_sample
+        "mixture_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents)
+            WHERE rn <= (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4) * 3 + 2
+            ORDER BY doc_id
         """,
         # sequence packing: floor(exclusive token prefix / 256) in doc order
         # (distributed prefix sum; all-integer, bit-exact oracle)

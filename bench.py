@@ -113,7 +113,7 @@ TRAINING_BENCHES = [
     "chunk_docs", "top_ngrams", "stratified_sample", "repetition_stats",
     "contamination_check", "bm25_search", "tfidf_top_terms",
     "dedup_normalized", "q_events_sliding", "q_daily_active_users",
-    "pack_sequences",
+    "pack_sequences", "mixture_sample",
     "dedup_exact", "dedup_passages", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine", "dedup_embedding_exact",

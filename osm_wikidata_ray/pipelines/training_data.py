@@ -3693,3 +3693,62 @@ def pack_sequences(
         .groupby("bucket_part", num_partitions=n_parts)
         .map_groups(assign, batch_format="pandas")
     )
+
+
+def mixture_sample(
+    sf_dir: str, base: int = 2, step: int = 3, mod: int = 4
+) -> "ray.data.Dataset":
+    """Weighted data MIXING — the training-mix op: each source contributes a
+    different number of docs, count(source) = (numeric suffix % mod) · step
+    + base (a deterministic per-source quota; in a real run the quotas come
+    from the mixture config).  Sampling key is the same seedless md5 order
+    as stratified_sample, so the draw is partitioning-independent and
+    SQL-reproducible.
+
+    Scale shape: the per-batch combiner keeps only the max-quota head per
+    source per batch, so the exchange carries ≤ max_quota × strata rows per
+    block; the final per-source head applies the quota in one tiny grouped
+    stage."""
+    import hashlib
+    import re as _re
+
+    max_n = (mod - 1) * step + base
+
+    def quota(source: str) -> int:
+        m = _re.search(r"\d+", source)
+        return (int(m.group()) if m else 0) % mod * step + base
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(str(i).encode()).hexdigest()
+            for i in batch.column("doc_id").to_pylist()
+        ]
+        df = pd.DataFrame(
+            {"doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+             "source": batch.column("source").to_pylist(),
+             "sample_key": keys}
+        )
+        part = (
+            df.sort_values(["source", "sample_key", "doc_id"], kind="stable")
+            .groupby("source", sort=False)
+            .head(max_n)
+        )
+        return table_from_pandas(
+            part,
+            pa.schema(
+                [("doc_id", pa.int64()), ("source", pa.string()),
+                 ("sample_key", pa.string())]
+            ),
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sample_key", "doc_id"], kind="stable")
+        g = g.head(quota(g["source"].iloc[0]))
+        return g[["doc_id", "source"]]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("source", num_partitions=8)
+        .map_groups(final, batch_format="pandas")
+    )
