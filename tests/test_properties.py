@@ -158,3 +158,38 @@ def test_thin_exchange_hash_identity(keys):
     for i in range(n):
         for j in range(i + 1, n):
             assert (kh[i] == kh[j]) == (keys[i] == keys[j])
+
+
+def test_stride1_window_texts_matches_python_reference():
+    """The position-vectorized window kernel (contamination tiers) equals a
+    plain Python sliding-window over the same trim/split semantics."""
+    import pyarrow as pa
+    import re
+
+    from osm_wikidata_ray.pipelines.training_data import _stride1_window_texts
+
+    docs = [
+        "a b c d e",
+        "  leading and trailing  ",
+        "",
+        "one",
+        "x " * 30,
+        "tab\tsep  multi   space",
+    ]
+    window = 3
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "text": pa.array(docs, pa.string())}
+    )
+    texts, ids = _stride1_window_texts(batch, window)
+    got = sorted(zip(ids.tolist(), texts.to_pylist()))
+    expect = []
+    for i, d in enumerate(docs):
+        toks = re.sub(r"^\s+|\s+$", "", d).split()
+        # the kernel splits on \s+ AFTER an RE2 edge trim: empty text
+        # yields the single empty token, matching split_pattern_regex
+        if not toks:
+            toks = [""]
+        for s in range(len(toks) - window + 1):
+            expect.append((i, " ".join(toks[s:s + window])))
+    assert got == sorted(expect)
