@@ -802,7 +802,7 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                      ) AS rn
               FROM documents)
-            WHERE rn <= (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4) * 3 + 2
+            WHERE rn <= (coalesce(try_cast(regexp_extract(source, '[0-9]+') AS BIGINT), 0) % 4) * 3 + 2
             ORDER BY doc_id
         """,
         # sequence packing: floor(exclusive token prefix / 256) in doc order

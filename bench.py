@@ -203,7 +203,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "end-to-end pipeline wall time (linkage + training-data ops)",
+                "metric": "sum of per-query best walls (linkage + training-data ops); gross_wall_s = end-to-end elapsed",
                 "value": round(total, 3),
                 "unit": "sec",
                 "gross_wall_s": round(gross, 3),

@@ -3370,7 +3370,13 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         df_ref = ray.put(df_map)
 
         def score(batch: pa.Table) -> pa.Table:
-            dfm = ray.get(df_ref)
+            # per-process cache: ray.get + Series rebuild once per worker,
+            # not per batch (broadcast-state task-stage invariant)
+            dfm = _enrich_cache.get(df_ref.hex())
+            if dfm is None:
+                dfm = ray.get(df_ref)
+                _enrich_cache.clear()
+                _enrich_cache[df_ref.hex()] = dfm
             tf = tf_frame(batch)
             if tf.empty:
                 return out_schema.empty_table()
@@ -3524,12 +3530,15 @@ def events_sliding(
         .sum(["n_events", "sum_value"])
     )
     def finish(b: pa.Table) -> pa.Table:
-        # bit-exact float output: go through integer cents (np.rint) and
-        # divide — k/100.0 is the same double in numpy and DuckDB, whereas
-        # Arrow's round(x, 2) and DuckDB's round can differ by 1 ulp, which
-        # flips row order under the driver's sort-then-round normalization
+        # bit-exact float output: go through integer cents and divide —
+        # k/100.0 is the same double in numpy and DuckDB, whereas Arrow's
+        # round(x, 2) and DuckDB's round can differ by 1 ulp, which flips
+        # row order under the driver's sort-then-round normalization.
+        # sign*floor(|x|*100+0.5) is DuckDB round()'s half-away-from-zero
+        # exactly (np.rint is half-to-even and would diverge on an exact
+        # .5-cent tie).
         s = b.column("sum(sum_value)").to_numpy(zero_copy_only=False)
-        cents = np.rint(s * 100.0)
+        cents = np.sign(s) * np.floor(np.abs(s) * 100.0 + 0.5)
         return pa.table(
             {"window_start": b.column("window_start"),
              "event_type": b.column("event_type"),

@@ -53,9 +53,17 @@ _PLURAL_IRREGULAR = {
     "child": "children", "person": "people", "man": "men", "woman": "women",
     "foot": "feet", "tooth": "teeth", "goose": "geese", "mouse": "mice",
     "church": "churches",
+    # classical -is / Latin plurals pattern.en applies (plausible isa labels)
+    "analysis": "analyses", "basis": "bases", "crisis": "crises",
+    "thesis": "theses", "oasis": "oases", "axis": "axes",
+    "diagnosis": "diagnoses", "synopsis": "synopses", "cactus": "cacti",
+    "series": "series", "species": "species",
 }
 _ES_ENDINGS = ("s", "x", "z", "ch", "sh")
 _F_TO_VES = ("leaf", "shelf", "wolf", "half", "calf", "loaf", "scarf")
+# consonant+o nouns that take -s anyway (pattern.en's exception list)
+_O_TAKES_S = ("photo", "piano", "halo", "solo", "soprano", "canto", "kimono",
+              "zero", "pro", "memo", "logo", "dynamo", "casino")
 
 
 def pluralize_label(label: dict[str, str]) -> str:
@@ -73,6 +81,13 @@ def pluralize_label(label: dict[str, str]) -> str:
         return text[:-1] + "ies"
     if low.endswith(_ES_ENDINGS):
         return text + "es"
+    if (
+        low.endswith("o")
+        and len(text) > 1
+        and low[-2] not in "aeiou"
+        and low not in _O_TAKES_S
+    ):
+        return text + "es"  # volcano→volcanoes, tomato→tomatoes
     if low in _F_TO_VES:
         return text[:-1] + "ves"
     if low.endswith("fe") and low[:-2] + "fe" in ("knife", "wife", "life"):

@@ -551,4 +551,9 @@ def test_pluralize_label():
     assert pluralize_label(en("bus")) == "buses"
     assert pluralize_label(en("railway station")) == "railway stations"
     assert pluralize_label(en("monastery")) == "monasteries"
+    assert pluralize_label(en("volcano")) == "volcanoes"
+    assert pluralize_label(en("photo")) == "photos"
+    assert pluralize_label(en("radio")) == "radios"
+    assert pluralize_label(en("analysis")) == "analyses"
+    assert pluralize_label(en("species")) == "species"
     assert pluralize_label({"language": "de", "value": "Bahnhof"}) == "Bahnhof"
