@@ -498,6 +498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": lambda sf: td.dedup_minhash_clusters(sf).sort(
             ["canonical_doc"]
         ),
+        "dedup_simhash_clusters": lambda sf: td.dedup_simhash_clusters(sf).sort(
+            ["canonical_doc"]
+        ),
         "dedup_embedding_cosine": lambda sf: td.dedup_embedding_cosine(sf).sort(
             ["vec_a", "vec_b"]
         ),
@@ -604,7 +607,8 @@ def oracle_sql() -> dict[str, str]:
         name: _ensure_td_oracle_dump(name)
         for name in (
             "dedup_minhash", "dedup_simhash", "dedup_minhash_clusters",
-            "dedup_embedding_cosine", "ann_topk_ivf", "doc_fingerprint",
+            "dedup_simhash_clusters", "dedup_embedding_cosine",
+            "ann_topk_ivf", "doc_fingerprint",
         )
     }
     return {
@@ -621,6 +625,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_clusters": f"""
             SELECT canonical_doc
             FROM read_parquet('{td_dumps["dedup_minhash_clusters"]}')
+            ORDER BY canonical_doc
+        """,
+        "dedup_simhash_clusters": f"""
+            SELECT canonical_doc
+            FROM read_parquet('{td_dumps["dedup_simhash_clusters"]}')
             ORDER BY canonical_doc
         """,
         "dedup_embedding_cosine": f"""

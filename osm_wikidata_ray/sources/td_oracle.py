@@ -140,12 +140,9 @@ def dedup_minhash_expected(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     return _minhash_pairs(sf_dir, threshold)
 
 
-def dedup_minhash_clusters_expected(
-    sf_dir: str, threshold: float = 0.8
-) -> pd.DataFrame:
-    """One row per near-dup component: canonical (min) doc_id, via a plain
-    union-find over the serial minhash pairs."""
-    pairs = _minhash_pairs(sf_dir, threshold)
+def _canonical_from_pairs(pairs: list[tuple[int, int]]) -> pd.DataFrame:
+    """Plain union-find over (a, b) edges → one row per component with the
+    min member as its canonical representative."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -154,7 +151,7 @@ def dedup_minhash_clusters_expected(
             x = parent[x]
         return x
 
-    for a, b in pairs.itertuples(index=False):
+    for a, b in pairs:
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
@@ -165,6 +162,15 @@ def dedup_minhash_clusters_expected(
     return pd.DataFrame(
         {"canonical_doc": sorted(roots.values())}, dtype="int64"
     )
+
+
+def dedup_minhash_clusters_expected(
+    sf_dir: str, threshold: float = 0.8
+) -> pd.DataFrame:
+    """One row per near-dup component: canonical (min) doc_id, via a plain
+    union-find over the serial minhash pairs."""
+    pairs = _minhash_pairs(sf_dir, threshold)
+    return _canonical_from_pairs(list(pairs.itertuples(index=False, name=None)))
 
 
 def dedup_simhash_expected(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
@@ -190,6 +196,46 @@ def dedup_simhash_expected(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             if bin(sims[a] ^ sims[b]).count("1") <= max_hamming:
                 out.add((a, b))
     return pd.DataFrame(sorted(out), columns=["doc_a", "doc_b"]).astype("int64")
+
+
+def dedup_simhash_clusters_expected(
+    sf_dir: str, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Canonical doc per simhash near-dup component, mirroring the engine's
+    signature-collapse policy: per segment bucket, each distinct sim value
+    elects its min doc_id as representative, members attach to the rep
+    (hamming 0), and cross-signature edges are verified only between the
+    bucket's distinct sims (adjacent-chain over sorted sims past
+    BUCKET_PAIR_CAP, all pairs below it)."""
+    doc_ids, texts = _read_docs(sf_dir)
+    sims = {did: _doc_simhash(t) for did, t in zip(doc_ids, texts)}
+    buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for did in doc_ids:
+        for seg in range(4):
+            buckets[(seg, (sims[did] >> (seg * 16)) & 0xFFFF)].append(did)
+    edges: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        if len(ids) < 2:
+            continue
+        by_sim: defaultdict[int, list[int]] = defaultdict(list)
+        for d in ids:
+            by_sim[sims[d]].append(d)
+        reps = {s: min(ds) for s, ds in by_sim.items()}
+        for d in ids:
+            r = reps[sims[d]]
+            if d != r:
+                edges.add((r, d))
+        ss = sorted(reps)
+        cand = (
+            list(zip(ss[:-1], ss[1:]))
+            if len(ss) > BUCKET_PAIR_CAP
+            else [(a, b) for i, a in enumerate(ss) for b in ss[i + 1 :]]
+        )
+        for u, v in cand:
+            if bin(u ^ v).count("1") <= max_hamming:
+                edges.add((reps[u], reps[v]))
+    return _canonical_from_pairs(sorted(edges))
 
 
 def dedup_embedding_cosine_expected(
