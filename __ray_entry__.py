@@ -405,6 +405,32 @@ def _media_features(sf_dir: str):
     return ds.select_columns(["media_id"]).sort(["media_id"])
 
 
+def _media_features_mixed(sf_dir: str):
+    """Heterogeneous-corpus decode posture: payload format cycles by
+    span offset % 4 (PPM / PNG / JPEG-unsupported / corrupt), every row
+    survives with a status.  The oracle derives status+dims from the
+    offset alone; the engine must actually decode the PPM/PNG rows to
+    produce matching width/height (wrong parse or a leaked exception
+    mismatches)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osm_wikidata_ray.pipelines.multimodal import media_features_mixed
+
+    def widen(b: pa.Table) -> pa.Table:
+        for col in ("width", "height"):
+            i = b.schema.get_field_index(col)
+            b = b.set_column(i, col, pc.cast(b.column(col), pa.int64()))
+        return b
+
+    return (
+        media_features_mixed(_synth_docs_ds(sf_dir))
+        .select_columns(["media_id", "status", "width", "height"])
+        .map_batches(widen, batch_format="pyarrow")
+        .sort(["media_id"])
+    )
+
+
 def _audio_features(sf_dir: str):
     from osm_wikidata_ray.pipelines.multimodal import audio_features
 
@@ -455,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_osm_lang_counts": _linkage_osm_lang_counts,
         "linkage_isa_facets": _linkage_isa_facets,
         "media_features": _media_features,
+        "media_features_mixed": _media_features_mixed,
         "audio_features": _audio_features,
         "video_frames": _video_frames,
         # --- training-data ops over documents/embeddings ---
@@ -724,6 +751,23 @@ def oracle_sql() -> dict[str, str]:
                         FROM read_parquet({dump}))
             SELECT doc_id || '#' || s."offset" AS media_id FROM su
             WHERE s.kind = 'media' ORDER BY media_id
+        """,
+        # heterogeneous decode: the payload format cycles by offset % 4
+        # (PPM 8×8 / PNG 7×5 / JPEG / corrupt), so status+dims are pure
+        # SQL over the span offsets — the engine side must decode the
+        # PPM/PNG rows for real to match the dims
+        "media_features_mixed": f"""
+            WITH su AS (SELECT doc_id, unnest(spans) AS s
+                        FROM read_parquet({dump}))
+            SELECT doc_id || '#' || s."offset" AS media_id,
+                   CASE s."offset" % 4
+                     WHEN 2 THEN 'unsupported'
+                     WHEN 3 THEN 'corrupt' ELSE 'ok' END AS status,
+                   (CASE s."offset" % 4
+                     WHEN 0 THEN 8 WHEN 1 THEN 7 ELSE -1 END)::BIGINT AS width,
+                   (CASE s."offset" % 4
+                     WHEN 0 THEN 8 WHEN 1 THEN 5 ELSE -1 END)::BIGINT AS height
+            FROM su WHERE s.kind = 'media' ORDER BY media_id
         """,
         # real WAV decode: expected features computed serially through the
         # stdlib `wave` module (independent RIFF parser) — dump oracle

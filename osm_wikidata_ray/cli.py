@@ -71,29 +71,100 @@ def cmd_run(args: argparse.Namespace) -> None:
     ray.shutdown()
 
 
+def verify_run(input_path: str, output_dir: str) -> tuple[int, int]:
+    """Distributed span-invariant verification of a completed run: returns
+    (n_source_docs, n_checksum_mismatches).
+
+    Distributed (VERDICT r4 item 4): source checksums and the two
+    candidate-carried claim streams co-partition on a doc_id hash-bucket
+    exchange; each bucket anti-joins its claims against its slice of the
+    source table and emits ONE count row.  The driver sums a ≤n_buckets
+    table — it never materializes a checksum dict or iterates candidate
+    rows (the old shape held every checksum in a driver dict, a driver
+    materialization at 100× scale).  Requires an initialized Ray session
+    (cmd_verify owns it; tests use the conftest session)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .pipelines.linkage import read_docs, verify_spans
+    from .stages.blocking import add_bucket
+    from .util import default_partitions, read_parquet_clean
+
+    n_parts = default_partitions()
+    tagged = pa.schema(
+        [("doc_id", pa.string()), ("checksum", pa.string()),
+         ("is_src", pa.bool_())]
+    )
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.string()),
+             "checksum": batch.column("span_checksum").cast(pa.string()),
+             "is_src": pa.array([True] * n, pa.bool_())},
+            schema=tagged,
+        )
+
+    def tag_claims(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [batch.column("wd_doc_id").cast(pa.string()).combine_chunks(),
+             batch.column("osm_doc_id").cast(pa.string()).combine_chunks()]
+        )
+        cks = pa.concat_arrays(
+            [batch.column("wd_checksum").cast(pa.string()).combine_chunks(),
+             batch.column("osm_checksum").cast(pa.string()).combine_chunks()]
+        )
+        return pa.table(
+            {"doc_id": ids, "checksum": cks,
+             "is_src": pa.array([False] * len(ids), pa.bool_())},
+            schema=tagged,
+        )
+
+    src = verify_spans(read_docs(input_path)).map_batches(
+        tag_src, batch_format="pyarrow"
+    )
+    claims = (
+        read_parquet_clean(f"{output_dir}/candidates")
+        .select_columns(
+            ["wd_doc_id", "wd_checksum", "osm_doc_id", "osm_checksum"]
+        )
+        .map_batches(tag_claims, batch_format="pyarrow")
+    )
+
+    def bucket_counts(group: pd.DataFrame) -> pd.DataFrame:
+        # one frame per BUCKET (repo bucket pattern), pure pandas merge:
+        # a claim mismatches when its doc is absent from the source slice
+        # or carries a different checksum.
+        srcs = group[group["is_src"]]
+        cl = group[~group["is_src"]]
+        merged = cl.merge(
+            srcs[["doc_id", "checksum"]].rename(columns={"checksum": "want"}),
+            on="doc_id",
+            how="left",
+        )
+        bad = int((merged["want"] != merged["checksum"]).sum())
+        return pd.DataFrame({"docs": [len(srcs)], "mismatches": [bad]})
+
+    totals = (
+        src.union(claims)
+        .map_batches(
+            lambda b: add_bucket(b, "doc_id", n_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket", num_partitions=n_parts)
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()  # ≤ n_parts rows
+    )
+    return int(totals["docs"].sum()), int(totals["mismatches"].sum())
+
+
 def cmd_verify(args: argparse.Namespace) -> None:
-    """Re-verify the span-sequence invariant for a completed run."""
+    """CLI wrapper for verify_run — JSON summary + exit-code contract."""
     _ensure_ray()
     import ray
 
-    from .pipelines.linkage import read_docs, verify_spans
-
-    source = {
-        r["doc_id"]: r["span_checksum"]
-        for r in verify_spans(read_docs(args.input)).iter_rows()
-    }
-    from .util import read_parquet_clean
-
-    cands = read_parquet_clean(f"{args.output}/candidates")
-    bad = 0
-    for r in cands.select_columns(
-        ["wd_doc_id", "wd_checksum", "osm_doc_id", "osm_checksum"]
-    ).iter_rows():
-        if source.get(r["wd_doc_id"]) != r["wd_checksum"]:
-            bad += 1
-        if source.get(r["osm_doc_id"]) != r["osm_checksum"]:
-            bad += 1
-    print(json.dumps({"docs": len(source), "mismatches": bad, "ok": bad == 0}))
+    n_docs, bad = verify_run(args.input, args.output)
+    print(json.dumps({"docs": n_docs, "mismatches": bad, "ok": bad == 0}))
     ray.shutdown()
     sys.exit(0 if bad == 0 else 1)
 

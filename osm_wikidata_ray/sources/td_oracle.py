@@ -168,9 +168,39 @@ def dedup_minhash_clusters_expected(
     sf_dir: str, threshold: float = 0.8
 ) -> pd.DataFrame:
     """One row per near-dup component: canonical (min) doc_id, via a plain
-    union-find over the serial minhash pairs."""
-    pairs = _minhash_pairs(sf_dir, threshold)
-    return _canonical_from_pairs(list(pairs.itertuples(index=False, name=None)))
+    union-find over the exact-dup-COLLAPSED candidate policy the cluster
+    pipeline uses (per band bucket: one rep per distinct full signature,
+    rep→member edges, capped pairing across reps only), every edge
+    verified at estimated Jaccard ≥ threshold."""
+    doc_ids, texts = _read_docs(sf_dir)
+    sigs = {
+        did: _doc_minhash(_doc_shingle_hashes(t))
+        for did, t in zip(doc_ids, texts)
+    }
+    buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for did in doc_ids:
+        for bk in _band_keys(sigs[did]):
+            buckets[bk].append(did)
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        if len(ids) < 2:
+            continue
+        by_sig: defaultdict[bytes, list[int]] = defaultdict(list)
+        for d in ids:
+            by_sig[sigs[d].tobytes()].append(d)
+        reps = []
+        for members in by_sig.values():
+            rep = min(members)
+            reps.append(rep)
+            cand.update((rep, m) for m in members if m != rep)
+        cand.update(_capped_bucket_pairs(reps))
+    keep = [
+        (a, b)
+        for a, b in sorted(cand)
+        if (sigs[a] == sigs[b]).mean() >= threshold
+    ]
+    return _canonical_from_pairs(keep)
 
 
 def dedup_simhash_expected(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:

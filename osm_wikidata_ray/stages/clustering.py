@@ -280,7 +280,14 @@ def _label_checksum(labels: "ray.data.Dataset") -> int:
         return pa.table({"crc": pa.array([total], pa.int64())})
 
     parts = labels.map_batches(crc, batch_format="pyarrow")
-    return int(parts.sum("crc") or 0)
+    # one row per block — sum the partials in uint64 wrap-around on the
+    # driver (Ray's sum() accumulates exact Python ints, which overflow
+    # int64 across blocks and demote the reduce output to a pickled
+    # fallback block)
+    vals = np.array(
+        [r["crc"] for r in parts.take_all()], dtype=np.int64
+    )
+    return int(vals.view(np.uint64).sum(dtype=np.uint64)) if len(vals) else 0
 
 
 def clusters_from_disjoint_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -629,3 +629,41 @@ def test_connected_components_long_chain_and_ring(ray_session):
     assert cl.cluster_id.nunique() == 1
     assert len(cl) == 2 * n  # n qids + n osm nodes
     assert cl.cluster_id.iloc[0] == "Q0000"
+
+
+def test_verify_run_distributed(ray_session, tmp_path):
+    """cmd_verify's engine (cli.verify_run) is a bucketed co-partitioned
+    anti-join — green on an intact run, ≥1 mismatch after corrupting one
+    carried checksum, and the driver only ever sees per-bucket counts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.cli import verify_run
+    from osm_wikidata_ray.pipelines.linkage import read_docs, run_linkage
+    from osm_wikidata_ray.sources.synth import write_corpus_parquet
+
+    path = str(tmp_path / "docs.parquet")
+    n_docs, _ = write_corpus_parquet(path, None, 120)
+    ck = str(tmp_path / "run")
+    run_linkage(
+        read_docs(path), checkpoint_dir=ck, with_clusters=False,
+        scorer_concurrency=(1, 2),
+    )
+
+    docs, bad = verify_run(path, ck)
+    assert (docs, bad) == (n_docs, 0)
+
+    # flip one carried checksum in one candidates partition
+    part = sorted(glob.glob(f"{ck}/candidates/**/*.parquet", recursive=True))[0]
+    t = pq.read_table(part)
+    cks = t.column("wd_checksum").to_pylist()
+    cks[0] = "0" * len(cks[0])
+    t = t.set_column(
+        t.column_names.index("wd_checksum"), "wd_checksum",
+        __import__("pyarrow").array(cks, __import__("pyarrow").string()),
+    )
+    pq.write_table(t, part)
+
+    docs2, bad2 = verify_run(path, ck)
+    assert docs2 == n_docs and bad2 >= 1
