@@ -262,6 +262,24 @@ def test_png_media_decoder_and_small_image_resize():
     assert np.all(resized == 100.0)
 
 
+def test_md5_sample_keys_buffer_walk_matches_per_row():
+    """_md5_sample_keys (Arrow-cast + concatenated-buffer slicing) is
+    bit-identical to the naive per-row md5(str(id)) — including on
+    chunked and SLICED arrays where the offsets buffer doesn't start at
+    the array's first element."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_wikidata_ray.pipelines.training_data import _md5_sample_keys
+
+    ids = np.random.RandomState(5).randint(0, 10**12, size=1000)
+    naive = [hashlib.md5(str(i).encode()).hexdigest() for i in ids.tolist()]
+    assert _md5_sample_keys(pa.chunked_array([ids[:400], ids[400:]])) == naive
+    assert _md5_sample_keys(pa.array(ids)[137:613]) == naive[137:613]
+
+
 def test_media_features_mixed_degrades_per_row(ray_session):
     """Heterogeneous-corpus posture (VERDICT r4 #8): non-strict decode
     flags unsupported/corrupt payloads per row instead of failing the
