@@ -57,6 +57,25 @@ def make_span(kind: str, text: str, media_ref: str = "") -> dict[str, Any]:
     return {"kind": kind, "text": text, "media_ref": media_ref, "offset": 0}
 
 
+def docs_schema() -> "Any":
+    """The canonical Arrow schema of the span-document table (the shape
+    read_docs returns and every docs producer — synth, the PBF / Wikidata
+    dump readers — emits)."""
+    import pyarrow as pa
+
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    return pa.schema([("doc_id", pa.string()), ("spans", span_type)])
+
+
 def finalize_spans(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
     for i, s in enumerate(spans):
         s["offset"] = i

@@ -42,12 +42,24 @@ class LinkageResult:
 
 def read_docs(path: str, **kwargs: Any) -> "ray.data.Dataset":
     """Read the doc table.  Lance when available (north-rule input), else
-    Parquet — the rest of the pipeline is format-agnostic."""
+    Parquet — the rest of the pipeline is format-agnostic.  Offline dump
+    formats are first-class inputs too: ``.osm.pbf`` routes through the
+    blob-parallel PBF reader and ``.json(.gz/.bz2)`` through the Wikidata
+    JSON-dump reader (sources/osm_pbf.py, sources/wikidata_dump.py), both
+    ending in the same span-document schema."""
     if path.endswith(".lance"):
         try:
             return ray.data.read_lance(path, **kwargs)
         except (ImportError, AttributeError) as e:  # lance not installed here
             raise ImportError("pylance is not available in this environment") from e
+    if path.endswith(".pbf"):
+        from ..sources.osm_pbf import pbf_to_docs
+
+        return pbf_to_docs(path, **kwargs)
+    if path.endswith((".json", ".json.gz", ".json.bz2")):
+        from ..sources.wikidata_dump import read_wikidata_dump
+
+        return read_wikidata_dump(path, **kwargs)
     return read_parquet_clean(path, **kwargs)
 
 
