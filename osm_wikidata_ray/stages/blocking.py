@@ -173,15 +173,23 @@ def add_bucket(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
     return batch.append_column("bucket", buckets)
 
 
+def mix_int_buckets(vals: np.ndarray, n_buckets: int) -> np.ndarray:
+    """int64/uint64 keys → int32 bucket ids (multiplicative mix so
+    sequential ids spread).  The ONE bucket function for int keys — stages
+    that pre-compute a downstream stage's buckets (scoring stage A emits
+    per-(osm, qid-bucket) payload rows) must match add_bucket_int exactly."""
+    mixed = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    return (mixed % n_buckets).astype(np.int32)
+
+
 def add_bucket_int(batch: pa.Table, column: str, n_buckets: int) -> pa.Table:
     """add_bucket for int64 key columns (cheaper: pure numpy, no string
     hashing); appends `bucket_part` so an existing `bucket` key column is
     left untouched."""
-    vals = batch.column(column).to_numpy(zero_copy_only=False).astype(np.uint64)
-    # multiplicative mix so sequential ids spread across buckets
-    mixed = (vals * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
-    buckets = pa.array((mixed % n_buckets).astype(np.int32))
-    return batch.append_column("bucket_part", buckets)
+    vals = batch.column(column).to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "bucket_part", pa.array(mix_int_buckets(vals, n_buckets))
+    )
 
 
 def thin_exchange_cols(batch: pa.Table, n_buckets: int) -> pa.Table:

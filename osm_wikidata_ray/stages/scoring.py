@@ -5,10 +5,20 @@ stages/parse entity keys); payloads attach to the surviving pairs
 afterwards so each record's payload crosses the wire once:
 
   stage A  union(thin pairs ⊎ OSM records) hash-bucketed by osm_key →
-           per-bucket pandas merge attaches osm_payload
-  stage B  union(stage-A pairs ⊎ WD records) hash-bucketed by qid_key →
-           ScorerReducer scores each item group (rule tables compiled once
-           per worker process; SURVEY.md §2.3)
+           per-bucket pandas merge; emits THIN pairs plus one OSM payload
+           row per distinct (osm_key, target qid-bucket) — NOT per pair
+  stage B  union(stage-A rows ⊎ WD records) grouped by the qid bucket →
+           ScorerReducer re-joins pairs to their OSM payloads in-bucket
+           and scores each item group (rule tables compiled once per
+           worker process; SURVEY.md §2.3)
+
+Stage A pre-computes stage B's bucket ids (blocking.mix_int_buckets —
+the same function add_bucket_int applies to the pair/WD rows) so an OSM
+payload ships once per bucket it is needed in.  Measured at 432k docs:
+pairs outnumber distinct (osm, bucket) combinations 3.8×, and the
+per-pair payload+checksum+doc_id columns were 206 MB of the stage-B
+exchange vs 55 MB deduplicated — the sort is bandwidth-bound, so the
+thin rewrite cuts the stage's all-to-all roughly 2.5×.
 
 Both stages reuse the bucketed-groupby pattern (blocking.add_bucket_int).
 """
@@ -34,7 +44,7 @@ from ..rules.reduce import (
     score_item_candidates,
 )
 from ..rules.ruleset import RuleSet
-from .blocking import add_bucket_int
+from .blocking import add_bucket_int, mix_int_buckets
 
 CANDIDATE_COLUMNS = [
     "qid", "osm_type", "osm_id", "dist",
@@ -130,33 +140,65 @@ def _recs_for_union(batch: pa.Table) -> pa.Table:
     )
 
 
-_ATTACHED_SCHEMA = pa.schema(
-    [("qid_key", pa.int64()), ("osm_key", pa.int64()), ("dist", pa.float64()),
-     ("osm_payload", pa.binary()), ("osm_doc_id", pa.string()),
-     ("osm_checksum", pa.string())]
+# stage-A output = stage-B-ready rows: "p" pairs stay THIN, "o" rows carry
+# each OSM payload once per stage-B bucket that needs it, "r" rows (added
+# in stage B) carry WD payloads once per record.  bucket_part is stage B's
+# group key, pre-computed for "o" rows from the pair qids they serve.
+_STAGE_B_SCHEMA = pa.schema(
+    [
+        ("bucket_part", pa.int32()),
+        ("kind", pa.string()),
+        ("join_key", pa.int64()),      # p: qid_key · r: entity_key · o: 0
+        ("osm_key", pa.int64()),       # p/o
+        ("dist", pa.float64()),
+        ("osm_payload", pa.binary()),  # o only
+        ("osm_doc_id", pa.string()),
+        ("osm_checksum", pa.string()),
+        ("payload", pa.binary()),      # r only
+        ("doc_id", pa.string()),
+        ("span_checksum", pa.string()),
+    ]
 )
 
 
-def _attach_osm_bucket(bucket: pd.DataFrame) -> pa.Table:
+def _attach_osm_bucket(bucket: pd.DataFrame, n_score_buckets: int) -> pa.Table:
     recs = bucket.loc[bucket["kind"] == "r"].drop_duplicates("join_key")
     pairs = bucket.loc[bucket["kind"] == "p"]
-    merged = pairs.merge(
-        recs[["join_key", "payload", "doc_id", "span_checksum"]],
-        on="join_key",
-        how="inner",
-        suffixes=("", "_rec"),
+    pairs = pairs.loc[pairs["join_key"].isin(recs["join_key"])]
+    n = len(pairs)
+    score_bucket = mix_int_buckets(
+        pairs["qid_key"].to_numpy(np.int64, copy=False), n_score_buckets
     )
-    out = pd.DataFrame(
-        {
-            "qid_key": merged["qid_key"],
-            "osm_key": merged["join_key"],
-            "dist": merged["dist"],
-            "osm_payload": merged["payload_rec"],
-            "osm_doc_id": merged["doc_id_rec"],
-            "osm_checksum": merged["span_checksum_rec"],
-        }
+    # one payload row per (osm_key, stage-B bucket) a pair needs it in
+    need = pd.DataFrame(
+        {"join_key": pairs["join_key"].to_numpy(), "bucket_part": score_bucket}
+    ).drop_duplicates()
+    orows = need.merge(
+        recs[["join_key", "payload", "doc_id", "span_checksum"]], on="join_key"
     )
-    return table_from_pandas(out, _ATTACHED_SCHEMA)
+    n_o = len(orows)
+    out = {
+        "bucket_part": np.concatenate(
+            [score_bucket, orows["bucket_part"].to_numpy(np.int32)]
+        ),
+        "kind": ["p"] * n + ["o"] * n_o,
+        "join_key": np.concatenate(
+            [pairs["qid_key"].to_numpy(np.int64), np.zeros(n_o, np.int64)]
+        ),
+        "osm_key": np.concatenate(
+            [pairs["join_key"].to_numpy(np.int64), orows["join_key"].to_numpy(np.int64)]
+        ),
+        "dist": np.concatenate(
+            [pairs["dist"].to_numpy(np.float64), np.full(n_o, math.nan)]
+        ),
+        "osm_payload": [b""] * n + list(orows["payload"]),
+        "osm_doc_id": [""] * n + list(orows["doc_id"]),
+        "osm_checksum": [""] * n + list(orows["span_checksum"]),
+        "payload": [b""] * (n + n_o),
+        "doc_id": [""] * (n + n_o),
+        "span_checksum": [""] * (n + n_o),
+    }
+    return pa.Table.from_pydict(out, schema=_STAGE_B_SCHEMA)
 
 
 def attach_osm_payloads(
@@ -164,7 +206,8 @@ def attach_osm_payloads(
     records: "ray.data.Dataset",
     n_parts: int,
 ) -> "ray.data.Dataset":
-    """Thin pairs + OSM records → pairs carrying osm payloads (stage A)."""
+    """Thin pairs + OSM records → stage-B rows (stage A): pairs stay thin,
+    payloads dedup to one row per (osm record, stage-B bucket)."""
     osm_recs = records.filter(expr="side == 'osm'").select_columns(_REC_COLUMNS)
     unioned = pairs.map_batches(_pairs_for_osm_union, batch_format="pyarrow").union(
         osm_recs.map_batches(_recs_for_union, batch_format="pyarrow")
@@ -176,43 +219,32 @@ def attach_osm_payloads(
         )
         .repartition(n_parts * 2)  # coalesce tiny union blocks before the sort
         .groupby("bucket_part", num_partitions=n_parts * 2)
-        .map_groups(_attach_osm_bucket, batch_format="pandas")
+        .map_groups(
+            _attach_osm_bucket,
+            fn_kwargs={"n_score_buckets": n_parts * 8},
+            batch_format="pandas",
+        )
     )
 
 
-def _pairs_for_wd_union(batch: pa.Table) -> pa.Table:
+def _wd_recs_for_union(batch: pa.Table, n_score_buckets: int) -> pa.Table:
     n = len(batch)
-    return pa.table(
+    entity_keys = batch.column("entity_key").to_numpy(zero_copy_only=False)
+    return pa.Table.from_pydict(
         {
-            "join_key": batch.column("qid_key"),
-            "kind": pa.array(["p"] * n),
-            "osm_key": batch.column("osm_key"),
-            "dist": batch.column("dist"),
-            "osm_payload": batch.column("osm_payload"),
-            "osm_doc_id": batch.column("osm_doc_id"),
-            "osm_checksum": batch.column("osm_checksum"),
-            "payload": pa.array([b""] * n, pa.binary()),
-            "doc_id": pa.array([""] * n),
-            "span_checksum": pa.array([""] * n),
-        }
-    )
-
-
-def _wd_recs_for_union(batch: pa.Table) -> pa.Table:
-    n = len(batch)
-    return pa.table(
-        {
+            "bucket_part": mix_int_buckets(entity_keys, n_score_buckets),
+            "kind": ["r"] * n,
             "join_key": batch.column("entity_key"),
-            "kind": pa.array(["r"] * n),
-            "osm_key": pa.array([0] * n, pa.int64()),
-            "dist": pa.array([math.nan] * n, pa.float64()),
-            "osm_payload": pa.array([b""] * n, pa.binary()),
-            "osm_doc_id": pa.array([""] * n),
-            "osm_checksum": pa.array([""] * n),
+            "osm_key": np.zeros(n, np.int64),
+            "dist": np.full(n, math.nan),
+            "osm_payload": [b""] * n,
+            "osm_doc_id": [""] * n,
+            "osm_checksum": [""] * n,
             "payload": batch.column("payload"),
             "doc_id": batch.column("doc_id"),
             "span_checksum": batch.column("span_checksum"),
-        }
+        },
+        schema=_STAGE_B_SCHEMA,
     )
 
 
@@ -248,6 +280,13 @@ class ScorerReducer:
             r.join_key: (r.payload, r.doc_id, r.span_checksum)
             for r in recs.itertuples()
         }
+        # pairs arrive THIN; their OSM payloads ride as one "o" row per
+        # (osm record, bucket) and re-join here by exact osm_key
+        orows = bucket.loc[bucket["kind"] == "o"]
+        osm_lookup = {
+            r.osm_key: (r.osm_payload, r.osm_doc_id, r.osm_checksum)
+            for r in orows.itertuples()
+        }
         # ONE output accumulator for the whole bucket (a DataFrame per item
         # plus a concat was ~½ the stage wall at 144k docs); per-item slices
         # are plain numpy views, no per-item pandas objects
@@ -256,9 +295,6 @@ class ScorerReducer:
         qids = pairs["join_key"].to_numpy()
         dists = pairs["dist"].to_numpy()
         uids = pairs["osm_key"].to_numpy()
-        payloads = pairs["osm_payload"].to_numpy()
-        doc_ids = pairs["osm_doc_id"].to_numpy()
-        checks = pairs["osm_checksum"].to_numpy()
         order = np.lexsort((uids, dists, qids))
         boundaries = np.flatnonzero(
             np.concatenate([[True], qids[order][1:] != qids[order][:-1]])
@@ -272,9 +308,7 @@ class ScorerReducer:
             if wd is None:
                 continue
             self.score_item(
-                wd,
-                dists[sel], uids[sel], payloads[sel], doc_ids[sel], checks[sel],
-                out, obj_cache,
+                wd, dists[sel], uids[sel], osm_lookup, out, obj_cache,
             )
         df = pd.DataFrame(out) if out["qid"] else _empty_candidates()
         if len(df):
@@ -288,9 +322,7 @@ class ScorerReducer:
         wd: tuple[Any, str, str],
         dists: np.ndarray,
         uids: np.ndarray,
-        payloads: np.ndarray,
-        doc_ids: np.ndarray,
-        checks: np.ndarray,
+        osm_lookup: dict[int, tuple[bytes, str, str]],
         out: dict[str, list],
         obj_cache: dict[bytes, dict],
     ) -> None:
@@ -308,7 +340,10 @@ class ScorerReducer:
             if uid in seen:
                 continue
             seen.add(uid)
-            payload = payloads[k]
+            osm_rec = osm_lookup.get(uid)
+            if osm_rec is None:  # payload row missing — record had no doc
+                continue
+            payload, doc_id_k, check_k = osm_rec
             obj = obj_cache.get(payload)
             if obj is None:
                 obj = json.loads(zlib.decompress(payload))
@@ -323,7 +358,7 @@ class ScorerReducer:
             obj["dist"] = float(dists[k])
             osm_rows.append(obj)
             provenance[f"{obj['osm_type']}/{obj['osm_id']}"] = (
-                doc_ids[k], checks[k]
+                doc_id_k, check_k
             )
             if len(osm_rows) >= CANDIDATE_LIMIT:
                 break
@@ -426,16 +461,22 @@ def score_attached_pairs(
     want_isa: set[str] | None = None,
     within_ref: "ray.ObjectRef | None" = None,
 ) -> "ray.data.Dataset":
-    """Stage B: attach WD payloads and score (process-cached task state)."""
+    """Stage B: attach WD payloads and score (process-cached task state).
+
+    Stage-A rows arrive with ``bucket_part`` pre-computed (thin pairs +
+    per-bucket OSM payload rows); only the WD records need bucketing here,
+    with the same mix function, so the payload-carrying exchange is as
+    thin as the data allows."""
     wd_recs = records.filter(expr="side == 'wd'").select_columns(_REC_COLUMNS)
-    unioned = attached.map_batches(_pairs_for_wd_union, batch_format="pyarrow").union(
-        wd_recs.map_batches(_wd_recs_for_union, batch_format="pyarrow")
-    )
-    return (
-        unioned.map_batches(
-            lambda b: add_bucket_int(b, "join_key", n_parts * 8),
+    unioned = attached.union(
+        wd_recs.map_batches(
+            _wd_recs_for_union,
+            fn_kwargs={"n_score_buckets": n_parts * 8},
             batch_format="pyarrow",
         )
+    )
+    return (
+        unioned
         .repartition(n_parts * 2)  # coalesce tiny union blocks before the sort
         .groupby("bucket_part", num_partitions=n_parts * 2)
         .map_groups(
