@@ -168,6 +168,99 @@ def _ensure_within_oracle_dump(n: int) -> str:
     return path
 
 
+def _readers_fingerprint() -> str:
+    """Version tag for the offline-dump fixtures and their oracle dump:
+    rules/corpus fingerprint plus the reader + fixture-writer modules."""
+    import hashlib
+
+    from osm_wikidata_ray.sources import dump_fixtures, osm_pbf, wikidata_dump
+
+    h = hashlib.md5(_rules_fingerprint().encode())
+    for mod in (osm_pbf, wikidata_dump, dump_fixtures):
+        h.update(open(mod.__file__, "rb").read())
+    return h.hexdigest()[:8]
+
+
+def _ensure_dump_fixture_files(n: int) -> tuple[str, str, dict[str, list]]:
+    """Derive the offline dump fixtures (OSM PBF + Wikidata JSON dump +
+    criteria map) from the deterministic synth corpus, once per
+    (size, code version)."""
+    import json
+
+    fp = _readers_fingerprint()
+    pbf = f"/tmp/graft_fixture_{n}_{fp}.osm.pbf"
+    jsn = f"/tmp/graft_fixture_{n}_{fp}.wd.json"
+    tags = f"/tmp/graft_fixture_{n}_{fp}.qid_tags.json"
+    if not all(os.path.exists(p) for p in (pbf, jsn, tags)):
+        from osm_wikidata_ray.sources.dump_fixtures import corpus_to_dump_fixtures
+        from osm_wikidata_ray.sources.synth import generate_corpus
+
+        docs, _gold = generate_corpus(n)
+        pid = os.getpid()
+        qid_tags = corpus_to_dump_fixtures(docs, f"{pbf}.tmp.{pid}", f"{jsn}.tmp.{pid}")
+        with open(f"{tags}.tmp.{pid}", "w") as f:
+            json.dump(qid_tags, f, sort_keys=True)
+        for p in (pbf, jsn, tags):
+            os.replace(f"{p}.tmp.{pid}", p)  # atomic vs concurrent writers
+    return pbf, jsn, json.load(open(tags))
+
+
+def _reader_docs_ds(n: int):
+    """Run the REAL offline path: PBF blobs → elements → centroid joins →
+    docs, JSON dump → entity parse → ISA enrichment → docs."""
+    from osm_wikidata_ray.sources.osm_pbf import pbf_to_docs
+    from osm_wikidata_ray.sources.wikidata_dump import read_wikidata_dump
+
+    pbf, jsn, qid_tags = _ensure_dump_fixture_files(n)
+    return pbf_to_docs(pbf).union(read_wikidata_dump(jsn, qid_tags=qid_tags))
+
+
+def _ensure_dumps_oracle_dump(n: int) -> str:
+    """Serial-oracle accepted pairs over the READER-produced docs — proves
+    the distributed engine over the offline dump path reproduces the
+    serial answer on identical input (the readers are deterministic and
+    pinned by tests/test_dump_readers.py round-trips)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/graft_oracle_dumps_accepted_{n}_{_readers_fingerprint()}.parquet"
+    if not os.path.exists(path):
+        from osm_wikidata_ray.sources.oracle import oracle_tables
+
+        rows = _reader_docs_ds(n).take_all()
+        rows.sort(key=lambda r: r["doc_id"])
+        tables = oracle_tables(rows)
+        schema = pa.schema(
+            [("qid", pa.string()), ("osm_type", pa.string()),
+             ("osm_id", pa.int64()), ("dist", pa.float64())]
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pylist(tables["accepted"], schema=schema), tmp
+        )
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    return path
+
+
+def _linkage_from_dumps(sf_dir: str):
+    """Accepted pairs where the corpus enters through the OFFLINE dump
+    readers (sources/osm_pbf.py + sources/wikidata_dump.py) instead of the
+    doc table — the round-5 on-ramp, driver-checked end to end."""
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+
+    n = _SF_DOCS.get(_sf_from_dir(sf_dir), 1200)
+    res = run_linkage(
+        _reader_docs_ds(n),
+        with_clusters=False,
+        hot_key_threshold=500,
+        salt_factor=8,
+        scorer_concurrency=(1, 4),
+    )
+    return (
+        res.accepted.select_columns(["qid", "osm_type", "osm_id"]).sort(["qid"])
+    )
+
+
 def _audio_fingerprint() -> str:
     """Version tag for the audio oracle dump: corpus + the engine decoder
     module + the serial-oracle module."""
@@ -480,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_lang_counts": _linkage_lang_counts,
         "linkage_osm_lang_counts": _linkage_osm_lang_counts,
         "linkage_isa_facets": _linkage_isa_facets,
+        "linkage_from_dumps": _linkage_from_dumps,
         "media_features": _media_features,
         "media_features_mixed": _media_features_mixed,
         "audio_features": _audio_features,
@@ -678,6 +772,11 @@ def oracle_sql() -> dict[str, str]:
         "linkage_within_place": f"""
             SELECT qid, osm_type, osm_id
             FROM read_parquet('{_ensure_within_oracle_dump(_SF_DOCS["0.01"])}')
+            ORDER BY qid
+        """,
+        "linkage_from_dumps": f"""
+            SELECT qid, osm_type, osm_id
+            FROM read_parquet('{_ensure_dumps_oracle_dump(_SF_DOCS["0.01"])}')
             ORDER BY qid
         """,
         "linkage_candidates": f"""

@@ -105,7 +105,11 @@ def entity_to_item(
             break
     isa = claim_ids(entity, "P31")
     tags = set(get_extra_tags(isa))
-    for q in isa:
+    # the criteria map accepts P31-class keys AND per-item qid keys — the
+    # offline analogue of "which search criteria found this item" (the
+    # reference assigns an item the tags of the SPARQL criteria that
+    # returned it, matcher.py view of place.items_from_wikidata)
+    for q in (*isa, qid):
         tags.update((qid_tags or {}).get(q, ()))
     claims = entity.get("claims") or {}
     string_claims = {

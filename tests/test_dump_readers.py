@@ -242,3 +242,36 @@ def test_linkage_over_dump_inputs(ray_session, tmp_path, pbf_path, dump_path):
     ]
     match = json.loads(accepted[0]["name_match"])
     assert match["name"][0][1] == "The Red Lion"
+
+
+def test_dump_fixture_linkage_matches_serial_oracle(ray_session, tmp_path):
+    """The driver's linkage_from_dumps check in miniature: derive PBF +
+    JSON-dump fixtures from the synth corpus, run the distributed engine
+    over the READER-produced docs, compare to the serial oracle on the
+    same docs."""
+    from osm_wikidata_ray.pipelines.linkage import run_linkage
+    from osm_wikidata_ray.sources.dump_fixtures import corpus_to_dump_fixtures
+    from osm_wikidata_ray.sources.oracle import oracle_tables
+    from osm_wikidata_ray.sources.synth import generate_corpus
+
+    docs, _gold = generate_corpus(300)
+    pbf = str(tmp_path / "fx.osm.pbf")
+    jsn = str(tmp_path / "fx.wd.json")
+    qid_tags = corpus_to_dump_fixtures(docs, pbf, jsn)
+    reader_docs = P.pbf_to_docs(pbf).union(
+        W.read_wikidata_dump(jsn, qid_tags=qid_tags)
+    ).materialize()
+    rows = sorted(reader_docs.take_all(), key=lambda r: r["doc_id"])
+    oracle = sorted(
+        (r["qid"], r["osm_type"], r["osm_id"])
+        for r in oracle_tables(rows)["accepted"]
+    )
+    res = run_linkage(
+        reader_docs, with_clusters=False, hot_key_threshold=500,
+        salt_factor=8, scorer_concurrency=(1, 4),
+    )
+    engine = sorted(
+        (r["qid"], r["osm_type"], r["osm_id"]) for r in res.accepted.take_all()
+    )
+    assert engine == oracle
+    assert len(engine) > 20  # the fixture corpus must keep real matches
