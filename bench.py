@@ -115,12 +115,14 @@ TRAINING_BENCHES = [
     "dedup_normalized", "q_events_sliding", "q_daily_active_users",
     "pack_sequences", "mixture_sample",
     "dedup_exact", "dedup_passages", "dedup_minhash", "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "dedup_simhash", "dedup_minhash_clusters", "dedup_simhash_clusters",
     "dedup_embedding_cosine", "dedup_embedding_exact",
-    "ann_topk", "q_pricing_summary", "q_top_customers", "q_events_by_type",
+    "ann_topk", "ann_topk_ivf", "q_pricing_summary", "q_top_customers",
+    "q_events_by_type",
     "q_shipping_priority", "q_asof_join", "q_group_topk",
     "q_length_quantiles", "q_group_quantiles", "embedding_centroids",
-    "lm_score", "audio_features", "video_frames",
+    "lm_score", "token_counts_bpe",
+    "audio_features", "video_frames", "media_features_mixed",
 ]
 
 
