@@ -600,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "rank"]
         ),
         "dedup_normalized": lambda sf: td.dedup_normalized(sf).sort(["doc_id"]),
+        "c4_filter": lambda sf: td.c4_filter(sf).sort(["doc_id"]),
         "q_events_sliding": lambda sf: td.events_sliding(sf).sort(
             ["window_start", "event_type"]
         ),
@@ -974,6 +975,62 @@ def oracle_sql() -> dict[str, str]:
                        lower(text), '[^a-zA-Z0-9 ]', '', 'g'),
                        '\\s+', ' ', 'g'), '^\\s+|\\s+$', '', 'g')
             ORDER BY doc_id
+        """,
+        # corpus-curation composition: the same lang_id CTE chain, the
+        # quality token/stopword counters (all-integer gate compare) and
+        # dedup_exact's min-doc-per-text as the canonical set; reason =
+        # FIRST failing gate, in the engine's precedence order
+        "c4_filter": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       (regexp_extract_all(text, '[a-zA-Zäöüßéèàçñáíóú]+'))[1:200],
+                       x -> lower(x))) AS w
+              FROM documents
+            ), dw AS (SELECT DISTINCT doc_id, w FROM toks),
+            profiles(lang, prio, w) AS (VALUES {_lang_profile_values()}),
+            scores AS (
+              SELECT dw.doc_id, p.lang, p.prio, count(*) AS score
+              FROM dw JOIN profiles p USING (w)
+              GROUP BY dw.doc_id, p.lang, p.prio
+            ), best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, prio) AS rn
+              FROM scores),
+            lp AS (
+              SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+                     USING (doc_id)),
+            qual AS (
+              SELECT doc_id,
+                     array_length(string_split_regex(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                         '\\s+')) AS n_tokens,
+                     len(list_filter(
+                         string_split_regex(
+                             regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                             '\\s+'),
+                         t -> list_contains({_stopword_list_sql()},
+                                            lower(t))))::BIGINT AS n_stop
+              FROM documents),
+            canon AS (SELECT min(doc_id) AS doc_id FROM documents
+                      GROUP BY text),
+            r AS (
+              SELECT d.doc_id,
+                     CASE WHEN q.n_tokens < 25 THEN 'short'
+                          WHEN q.n_tokens > 90 THEN 'long'
+                          WHEN lp.lang_pred <> 'en' THEN 'lang'
+                          WHEN q.n_stop * 100 < q.n_tokens * 2 THEN 'stopword'
+                          WHEN c.doc_id IS NULL THEN 'dup'
+                          ELSE '' END AS reason
+              FROM documents d
+              JOIN qual q USING (doc_id)
+              JOIN lp USING (doc_id)
+              LEFT JOIN canon c USING (doc_id))
+            SELECT doc_id, (reason = '') AS kept, reason
+            FROM r ORDER BY doc_id
         """,
         # sliding 60-min window every 15 min: each event lands in 4 slots
         "q_events_sliding": """

@@ -3963,3 +3963,113 @@ def mixture_sample(
         .groupby("source", num_partitions=8)
         .map_groups(final, batch_format="pandas")
     )
+
+
+_C4_REASONS = np.array(["", "short", "long", "lang", "stopword"], dtype=object)
+_C4_OUT = pa.schema(
+    [("doc_id", pa.int64()), ("kept", pa.bool_()), ("reason", pa.string())]
+)
+
+
+def c4_filter(
+    sf_dir: str,
+    min_tokens: int = 25,
+    max_tokens: int = 90,
+    keep_lang: str = "en",
+    min_stop_pct: int = 2,
+) -> "ray.data.Dataset":
+    """End-to-end corpus CURATION composition (the C4/Gopher recipe shape:
+    length gate → language gate → stopword-ratio gate → exact dedup) in one
+    streaming pipeline, reusing the existing kernels verbatim: the
+    quality_score token/stopword counters, the LangId profile scorer, and
+    dedup_exact's combiner-first survivor machinery (all three scale
+    branches inherited).  Emits one row per doc: kept + the FIRST failing
+    gate ('short' | 'long' | 'lang' | 'stopword' | 'dup' | '' kept).
+
+    Scale shape: one corpus pass computes every per-doc gate vectorized and
+    emits THIN (doc_id int64, gate code int8) rows; dedup_exact contributes
+    (doc_id) survivor rows; one int64-bucketed exchange co-locates each
+    doc's gate row with its survivor row (present ⟺ canonical) and the
+    verdict resolves in-bucket — no payload columns, no driver-side set.
+    The stopword gate compares n_stop·100 < n_tokens·min_stop_pct in
+    integers, so the SQL oracle is bit-exact."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+    scorer = LangId()
+    stop_arr = pa.array(sorted(set(_STOPWORDS)))
+    thin_schema = pa.schema(
+        [("doc_id", pa.int64()), ("code", pa.int8()), ("is_gate", pa.bool_())]
+    )
+
+    def gates(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return thin_schema.empty_table()
+        tokens = pc.split_pattern_regex(_ws_trim(batch.column("text")), r"\s+")
+        n_tokens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+        lower_tokens = pc.utf8_lower(pc.list_flatten(tokens))
+        is_stop = pc.is_in(lower_tokens, value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        starts = np.cumsum(n_tokens) - n_tokens
+        n_stop = np.zeros(len(batch), dtype=np.int64)
+        nonempty = n_tokens > 0
+        if nonempty.any():
+            n_stop[nonempty] = np.add.reduceat(is_stop, starts[nonempty])
+        lang_pred = scorer(batch).column("lang_pred").to_numpy(
+            zero_copy_only=False
+        )
+        # reverse-precedence assignment: the LAST write wins, so the
+        # highest-precedence gate ('short') is written last
+        code = np.zeros(len(batch), dtype=np.int8)
+        code[n_stop * 100 < n_tokens * min_stop_pct] = 4
+        code[lang_pred != keep_lang] = 3
+        code[n_tokens > max_tokens] = 2
+        code[n_tokens < min_tokens] = 1
+        return pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+             "code": pa.array(code, pa.int8()),
+             "is_gate": pa.array(np.ones(len(batch), bool))},
+            schema=thin_schema,
+        )
+
+    gate_rows = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gates, batch_format="pyarrow"
+    )
+    surv_rows = dedup_exact(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+             "code": pa.array(np.zeros(len(b), np.int8)),
+             "is_gate": pa.array(np.zeros(len(b), bool))},
+            schema=thin_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def resolve(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.loc[bucket["is_gate"]]
+        canonical = pd.Index(bucket.loc[~bucket["is_gate"], "doc_id"])
+        code = g["code"].to_numpy()
+        in_surv = g["doc_id"].isin(canonical).to_numpy()
+        reason = _C4_REASONS[code.astype(np.int64)].copy()
+        reason[(code == 0) & ~in_surv] = "dup"
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy().astype(np.int64),
+             "kept": ((code == 0) & in_surv).astype(bool),
+             "reason": pd.Series(reason, dtype="string[pyarrow]")}
+        )
+
+    # dedup_exact's tail can be a lazy union; materialize before the
+    # all-to-all so the fused chain schedules cleanly (CLAUDE.md invariant)
+    merged = gate_rows.union(surv_rows).map_batches(
+        lambda b: add_bucket_int(b, "doc_id", n_parts * 4),
+        batch_format="pyarrow",
+    ).materialize()
+    return (
+        merged.groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(resolve, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(["doc_id", "kept", "reason"]).cast(_C4_OUT),
+            batch_format="pyarrow",
+        )
+    )

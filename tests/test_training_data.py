@@ -951,3 +951,47 @@ def test_dedup_normalized_collapses_variants(ray_session, tmp_path):
     # exact dedup keeps all four (the raw texts differ)
     exact = sorted(dedup_exact(str(tmp_path)).to_pandas()["doc_id"])
     assert exact == [0, 1, 2, 3]
+
+
+def test_c4_filter_all_gates_vs_oracle(ray_session, tmp_path):
+    """Every c4_filter gate fires — including 'dup', inert on the driver
+    fixture (no exact duplicates at sf0.01) — and the engine matches the
+    driver's DuckDB oracle SQL run over the same injected-dup corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry_mod
+    from osm_wikidata_ray.pipelines.training_data import c4_filter
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s0", "n_chars": len(text)}
+
+    kept_text = "the fox and a dog " + "ran far " * 13  # 31 tokens, en, 3 stop
+    rows = [
+        doc(1, kept_text),                                # kept
+        doc(2, "tiny doc only"),                          # short (3 tokens)
+        doc(3, "word " * 95 + "the"),                     # long (96 tokens)
+        doc(4, "der die das und ist ein nicht " * 5),     # lang (de, 35 tok)
+        doc(5, "the " + "zzz " * 59),                     # 60 tok, 1 stop -> stopword
+        doc(6, kept_text),                                # dup of 1
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    got = c4_filter(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert got["reason"].to_dict() == {
+        1: "", 2: "short", 3: "long", 4: "lang", 5: "stopword", 6: "dup"
+    }
+    assert got["kept"].to_dict() == {
+        1: True, 2: False, 3: False, 4: False, 5: False, 6: False
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.sql(entry_mod.oracle_sql()["c4_filter"]).df().set_index("doc_id")
+    assert odf["reason"].to_dict() == got["reason"].to_dict()
+    assert odf["kept"].astype(bool).to_dict() == got["kept"].to_dict()
