@@ -1310,7 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_shipping_priority": """
             SELECT o.o_orderkey,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100
                        AS revenue,
                    o.o_orderdate
             FROM customer c
@@ -1324,16 +1324,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+                   round(sum(l_quantity) * 100) / 100 AS sum_qty,
+                   round(sum(l_extendedprice) * 100) / 100 AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS sum_disc_price
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
         "q_top_customers": """
             SELECT c.c_name, n.n_name,
-                   round(sum(o.o_totalprice), 2) AS revenue
+                   round(sum(o.o_totalprice) * 100) / 100 AS revenue
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1341,12 +1341,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, c_name LIMIT 10
         """,
         "q_events_by_type": """
-            SELECT event_type, round(sum(value), 2) AS sum_value
+            SELECT event_type, round(sum(value) * 100) / 100 AS sum_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   round(sum(value), 2) AS sum_value
+                   round(sum(value) * 100) / 100 AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         """,
         # unigram LM retrained in CTEs: same tokenizer, same top-V vocab
@@ -1417,7 +1417,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_no,
                    COUNT(*)::BIGINT AS n_events,
-                   round(SUM(value), 2) AS sum_value
+                   round(SUM(value) * 100) / 100 AS sum_value
             FROM sess GROUP BY user_id, session_no
             ORDER BY user_id, session_no
         """,

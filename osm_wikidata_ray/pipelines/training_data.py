@@ -1956,13 +1956,28 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "sum_qty": pc.round(batch.column("l_quantity"), 2),
-                "sum_base_price": pc.round(batch.column("l_extendedprice"), 2),
-                "sum_disc_price": pc.round(batch.column("disc_price"), 2),
+                "sum_qty": _round2_cents(batch.column("l_quantity")),
+                "sum_base_price": _round2_cents(batch.column("l_extendedprice")),
+                "sum_disc_price": _round2_cents(batch.column("disc_price")),
             }
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _round2_cents(col) -> "pa.Array":
+    """SQL `round(x * 100) / 100` computed exactly: half-away-from-zero
+    integer cents divided back — k/100.0 is the same double in numpy and
+    DuckDB, whereas Arrow's / numpy's round(x, 2) can differ from SQL
+    round(x, 2) by 1 ulp (observed on q_events_hourly sums: pc.round
+    returned 199.42000000000002 where DuckDB's round gave the nearest
+    double to 199.42).  Every 2-decimal SUM oracle pairs this with
+    `round(sum(...) * 100) / 100` on the SQL side; the float sums on the
+    two sides may differ in the last ulps (order of addition), but both
+    land in the same cent except on a half-cent straddle ~1e-10 cents wide
+    (same documented caveat as events_sliding.finish)."""
+    s = col if isinstance(col, np.ndarray) else col.to_numpy(zero_copy_only=False)
+    return pa.array(np.sign(s) * np.floor(np.abs(s) * 100.0 + 0.5) / 100.0, pa.float64())
 
 
 def _sum_cols(cols: list[str]):
@@ -2151,7 +2166,7 @@ def top_customers(
             {
                 "c_name": batch.column("c_name"),
                 "n_name": batch.column("n_name"),
-                "revenue": pc.round(batch.column("sum(o_totalprice)"), 2),
+                "revenue": _round2_cents(batch.column("sum(o_totalprice)")),
             }
         )
 
@@ -2173,7 +2188,7 @@ def events_by_type(sf_dir: str) -> "ray.data.Dataset":
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "sum_value": pc.round(batch.column("value"), 2),
+                "sum_value": _round2_cents(batch.column("value")),
             }
         )
 
@@ -2204,7 +2219,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
             {
                 "hour": batch.column("hour"),
                 "event_type": batch.column("event_type"),
-                "sum_value": pc.round(batch.column("sum(value)"), 2),
+                "sum_value": _round2_cents(batch.column("sum(value)")),
             }
         )
 
@@ -2238,7 +2253,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
             .agg(n_events=("event_id", "count"), sum_value=("value", "sum"))
             .reset_index()
         )
-        agg["sum_value"] = agg["sum_value"].round(2)
+        agg["sum_value"] = _round2_cents(agg["sum_value"].to_numpy()).to_numpy()
         return agg
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
@@ -2515,7 +2530,7 @@ def shipping_priority(
         agg = j.groupby(["orderkey", "o_orderdate"], as_index=False)[
             "revenue"
         ].sum()
-        agg["revenue"] = agg["revenue"].round(2)
+        agg["revenue"] = _round2_cents(agg["revenue"].to_numpy()).to_numpy()
         agg = agg.rename(columns={"orderkey": "o_orderkey"})
         return agg[out_cols]
 
