@@ -601,6 +601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_normalized": lambda sf: td.dedup_normalized(sf).sort(["doc_id"]),
         "c4_filter": lambda sf: td.c4_filter(sf).sort(["doc_id"]),
+        "pii_scrub": lambda sf: td.pii_scrub(sf).sort(["doc_id"]),
+        "q_retention": lambda sf: td.cohort_retention(sf).sort(
+            ["cohort_day", "day_offset"]
+        ),
         "q_events_sliding": lambda sf: td.events_sliding(sf).sort(
             ["window_start", "event_type"]
         ),
@@ -679,6 +683,33 @@ def _stopword_list_sql() -> str:
     from osm_wikidata_ray.pipelines.training_data import _STOPWORDS
 
     return "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+def _pii_scrub_sql() -> str:
+    """pii_scrub oracle: a CTE chain with one scrub step per entry of the
+    SAME _PII_STEPS tuple the engine iterates (single source of truth) —
+    each count is taken on the text state right before its own
+    regexp_replace, mirroring the engine's intermediate strings exactly.
+    DuckDB standard string literals don't process backslash escapes, so
+    the RE2 patterns embed verbatim (only quotes would need doubling)."""
+    from osm_wikidata_ray.pipelines.training_data import _PII_STEPS
+
+    prev, ctes, counts = "documents", [], []
+    for i, (cnt_name, pat, repl) in enumerate(_PII_STEPS, 1):
+        carried = ", ".join(counts)
+        carried = carried + ", " if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS {cnt_name}, "
+            f"regexp_replace(text, '{pat}', '{repl}', 'g') AS text "
+            f"FROM {prev})"
+        )
+        counts.append(cnt_name)
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, {', '.join(counts)}, text FROM {prev} ORDER BY doc_id"
+    )
 
 
 def _bpe_pattern_sql() -> str:
@@ -980,6 +1011,21 @@ def oracle_sql() -> dict[str, str]:
         # quality token/stopword counters (all-integer gate compare) and
         # dedup_exact's min-doc-per-text as the canonical set; reason =
         # FIRST failing gate, in the engine's precedence order
+        "pii_scrub": _pii_scrub_sql(),
+        "q_retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+              FROM events
+            ),
+            coh AS (
+              SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+            )
+            SELECT c.cohort_day,
+                   datediff('day', c.cohort_day, u.day)::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM ud u JOIN coh c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "c4_filter": f"""
             WITH toks AS (
               SELECT doc_id,

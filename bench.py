@@ -112,7 +112,8 @@ TRAINING_BENCHES = [
     "doc_stats", "token_counts", "quality", "lang_id", "doc_fingerprint",
     "chunk_docs", "top_ngrams", "stratified_sample", "repetition_stats",
     "contamination_check", "bm25_search", "tfidf_top_terms",
-    "dedup_normalized", "c4_filter", "q_events_sliding", "q_daily_active_users",
+    "dedup_normalized", "c4_filter", "pii_scrub", "q_retention",
+    "q_events_sliding", "q_daily_active_users",
     "pack_sequences", "mixture_sample",
     "dedup_exact", "dedup_passages", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_minhash_clusters", "dedup_simhash_clusters",

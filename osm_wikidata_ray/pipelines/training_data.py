@@ -4088,3 +4088,130 @@ def c4_filter(
             batch_format="pyarrow",
         )
     )
+
+
+# PII patterns shared verbatim with the SQL oracles (both sides run RE2,
+# so count/replace semantics are identical by construction: non-overlapping
+# leftmost matches).  RE2 has no lookarounds — these are deliberately
+# lookaround-free.  Order matters and is part of the contract: emails are
+# scrubbed first (their local part may contain digits), then dotted-quad
+# IPs (so their digit runs never half-match the phone pattern), then
+# phone-like digit runs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+_PII_STEPS = (
+    ("n_email", PII_EMAIL_RE, "<EMAIL>"),
+    ("n_ip", PII_IP_RE, "<IP>"),
+    ("n_phone", PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """PII redaction — the corpus-curation staple the reference never needs
+    (its inputs are public map/knowledge-base records) but any 100 TB web
+    corpus does before training: emails → <EMAIL>, dotted-quad IPv4s →
+    <IP>, phone-like digit runs → <PHONE>, with per-category match counts.
+
+    Pure vectorized map (pc.count_substring_regex + replace_substring_regex
+    per step), zero shuffles, streams at input bandwidth.  Each count is
+    taken on the text state right before its own scrub, and the SQL oracle
+    chains regexp_replace CTEs in the same order, so engine and oracle see
+    identical intermediate strings.  The driver fixture's synthetic text
+    contains no PII (counts 0, text unchanged) — the active path is pinned
+    by an injected-PII pytest that runs the driver's own oracle SQL over a
+    corpus with emails/IPs/phones (same precedent as c4_filter's dup gate)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        cols: dict[str, Any] = {"doc_id": batch.column("doc_id")}
+        for cnt_name, pat, repl in _PII_STEPS:
+            cols[cnt_name] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+            text = pc.replace_substring_regex(text, pat, repl)
+        cols["text"] = text
+        return pa.table(cols)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
+def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention matrix over the event stream: cohort_day = each
+    user's first active calendar day, day_offset = days since cohort, and
+    n_users = how many of that cohort were active at that offset — the
+    canonical product-analytics aggregate at web scale.
+
+    Scale shape (one exchange, keyed by user): per-batch (user, day) dedup
+    shrinks rows to active-days; ONE int64-bucketed exchange on user_id
+    co-locates every row of a user, so the in-bucket pandas pass computes
+    each user's min day and distinct offsets globally exactly; a user
+    belongs to exactly one cohort and contributes at most once per offset,
+    so per-bucket partial counts sum exactly in the final groupby, which is
+    bounded by days × offsets, not by users or events."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+    out_schema = pa.schema(
+        [("cohort_day", pa.timestamp("us")), ("day_offset", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day").to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]")
+        users = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"user_id": users, "day": day}).drop_duplicates()
+        return pa.table(
+            {"user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+             "day": pa.array(df["day"], pa.timestamp("us"))}
+        )
+
+    def bucket_counts(bucket: pd.DataFrame) -> pa.Table:
+        d = bucket.drop_duplicates(["user_id", "day"])
+        cohort = d.groupby("user_id", sort=False)["day"].transform("min")
+        off = (
+            (d["day"].to_numpy() - cohort.to_numpy())
+            // np.timedelta64(1, "D")
+        ).astype(np.int64)
+        cnt = (
+            pd.DataFrame({"cohort_day": cohort.to_numpy(), "day_offset": off})
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return pa.table(
+            {"cohort_day": pa.array(
+                cnt["cohort_day"].to_numpy().astype("datetime64[us]"),
+                pa.timestamp("us")),
+             "day_offset": pa.array(cnt["day_offset"].to_numpy(), pa.int64()),
+             "n_users": pa.array(cnt["n_users"].to_numpy(), pa.int64())},
+            schema=out_schema,
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "user_id", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"], num_partitions=8)
+        .sum("n_users")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"cohort_day": b.column("cohort_day"),
+             "day_offset": b.column("day_offset"),
+             "n_users": b.column("sum(n_users)")},
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    )

@@ -995,3 +995,91 @@ def test_c4_filter_all_gates_vs_oracle(ray_session, tmp_path):
     odf = con.sql(entry_mod.oracle_sql()["c4_filter"]).df().set_index("doc_id")
     assert odf["reason"].to_dict() == got["reason"].to_dict()
     assert odf["kept"].astype(bool).to_dict() == got["kept"].to_dict()
+
+
+def test_pii_scrub_injected_vs_oracle(ray_session, tmp_path):
+    """pii_scrub's active path — inert on the driver fixture (no PII in the
+    synthetic text) — fires on an injected-PII corpus and matches the
+    driver's own oracle SQL over it (same precedent as c4_filter's dup
+    gate).  Pins scrub ORDER (emails before IPs before phones) and that
+    each count is taken pre-scrub for its own category."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry_mod
+    from osm_wikidata_ray.pipelines.training_data import pii_scrub
+
+    def doc(doc_id, text):
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "s0", "n_chars": len(text)}
+
+    rows = [
+        doc(1, "contact alice.smith+dev@example.co.uk or bob@x.io today"),
+        doc(2, "server at 192.168.0.1 and 10.0.0.255, not 1234.5.6.7 ok"),
+        doc(3, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+        doc(4, "mixed: eve@host.org from 8.8.8.8 dialed 555-867-5309"),
+        doc(5, "no pii here at all, just words"),
+        doc(6, ""),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    got = pii_scrub(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[1, "n_email"] == 2
+    assert got.loc[1, "text"] == "contact <EMAIL> or <EMAIL> today"
+    assert got.loc[2, "n_ip"] == 2          # 1234.5.6.7 rejected by \b{1,3}
+    assert got.loc[3, "n_phone"] == 2
+    assert got.loc[4, ["n_email", "n_ip", "n_phone"]].tolist() == [1, 1, 1]
+    assert got.loc[4, "text"] == "mixed: <EMAIL> from <IP> dialed <PHONE>"
+    assert got.loc[5, ["n_email", "n_ip", "n_phone"]].tolist() == [0, 0, 0]
+    assert got.loc[5, "text"] == "no pii here at all, just words"
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.sql(entry_mod.oracle_sql()["pii_scrub"]).df().set_index("doc_id")
+    for col in ["n_email", "n_ip", "n_phone", "text"]:
+        assert odf[col].to_dict() == got[col].to_dict(), col
+
+
+def test_cohort_retention_vs_pandas(ray_session):
+    """cohort_retention over the sf0.001 events table matches a serial
+    pandas computation (cohort = each user's first active day; one count
+    per (cohort, offset) of distinct active users)."""
+    import pandas as pd
+
+    from osm_wikidata_ray.pipelines.training_data import cohort_retention
+
+    sf_dir = SF
+    got = (
+        cohort_retention(sf_dir)
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ud = (
+        pd.DataFrame({"user_id": ev["user_id"],
+                      "day": ev["ts"].dt.floor("D")})
+        .drop_duplicates()
+    )
+    cohort = ud.groupby("user_id")["day"].transform("min")
+    off = ((ud["day"] - cohort) // pd.Timedelta(days=1)).astype("int64")
+    want = (
+        pd.DataFrame({"cohort_day": cohort, "day_offset": off})
+        .groupby(["cohort_day", "day_offset"])
+        .size()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["cohort_day"].to_numpy() == want["cohort_day"].to_numpy()).all()
+    assert got["day_offset"].tolist() == want["day_offset"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
+    # every user is in its own cohort at offset 0
+    day0 = got[got["day_offset"] == 0]["n_users"].sum()
+    assert day0 == ev["user_id"].nunique()
