@@ -341,6 +341,20 @@ def connected_components(
     checksum exits early on convergence."""
     adj = _pairs_to_adjacency(pairs).materialize()
 
+    # Partition count sized to the GRAPH, not the session default: each
+    # round launches ~one task per block across two all-to-alls, so a tiny
+    # edge set (the common case for near-dup clustering after signature
+    # collapse) spread over default_partitions() near-empty blocks pays
+    # rounds of pure scheduling — measured 16.5 s → ~4 s on
+    # dedup_simhash_clusters at sf0.01 (45 edges had arrived as 64 blocks).
+    # Large graphs still get up to default_partitions() blocks (~64k
+    # adjacency rows ≈ a few MB per block); the one-time coalesce below is
+    # amortized over every round's reuse of `adj`.
+    n_adj = adj.count()
+    round_parts = max(1, min(default_partitions(), n_adj // 65536 + 1))
+    if adj.num_blocks() > 4 * round_parts:
+        adj = adj.repartition(round_parts).materialize()
+
     # initial labels: every node labels itself
     labels = adj.map_batches(
         lambda b: pa.table(
@@ -382,7 +396,7 @@ def connected_components(
             ),
             labels.map_batches(label_edges, batch_format="pyarrow"),
         )
-        n_parts = default_partitions()
+        n_parts = round_parts
         msgs = (
             combined.map_batches(
                 lambda b: add_bucket(b, "node", n_parts * 4),
@@ -395,7 +409,7 @@ def connected_components(
             .materialize()
         )
         labels = (
-            msgs.groupby("node", num_partitions=default_partitions())
+            msgs.groupby("node", num_partitions=round_parts)
             .min("label")
             .map_batches(
                 lambda b: pa.table(
