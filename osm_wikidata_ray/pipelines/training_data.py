@@ -825,7 +825,9 @@ def minhash_signatures(sf_dir: str, n_shingle: int = 3) -> "ray.data.Dataset":
 
 
 def minhash_bands(
-    sigs_ds: "ray.data.Dataset", with_sig_hash: bool = False
+    sigs_ds: "ray.data.Dataset",
+    with_sig_hash: bool = False,
+    with_sig: bool = False,
 ) -> "ray.data.Dataset":
     """THIN band rows (band_key int64, doc_id) derived from the signature
     table — signatures do not ride the band shuffle (they attach to
@@ -840,7 +842,15 @@ def minhash_bands(
     ``with_sig_hash`` adds a third int64: a mix of the FULL 64-perm
     signature, letting the in-bucket pair stage collapse verbatim/near-
     verbatim duplicate families to one representative (still thin — ints
-    only, no payloads)."""
+    only, no payloads).
+
+    ``with_sig`` additionally carries the 512-byte signature itself — the
+    CLUSTER path's deliberate exception to the thin-exchange rule: with
+    sigs in the bucket, the estimated-Jaccard verify runs in-bucket and
+    only SPANNING edges leave, so the exchange is O(corpus × bands × 512 B)
+    instead of O(candidate pairs) — the r4 thin path materialized ~10⁸
+    candidate rows on a mass-duplicate 500k corpus, then paid a global
+    pair dedup plus a signature attach that this removes entirely."""
     rows = _MINHASH_PERMS // _MINHASH_BANDS
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -872,6 +882,11 @@ def minhash_bands(
                 np.repeat(acc.view(np.int64), _MINHASH_BANDS), pa.int64()
             )
             schema = _BAND_SIGH_SCHEMA
+        if with_sig:
+            cols["sig"] = batch.column("sig").take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), _MINHASH_BANDS))
+            )
+            schema = schema.append(pa.field("sig", pa.binary()))
         return pa.table(cols, schema=schema)
 
     return sigs_ds.map_batches(bands, batch_format="pyarrow")
@@ -976,72 +991,158 @@ def _attach_by_key(
     )
 
 
-def _bucket_collapsed_pairs(group: pd.DataFrame) -> pa.Table:
-    """Exact-dup-collapsed in-bucket candidates (VERDICT r4 #3): per band
-    bucket, docs sharing the FULL-signature hash elect a representative
-    (min doc_id) and members attach via a LINEAR number of rep→member
-    edges; the quadratic (capped) pairing runs only over the distinct
-    signatures.  A 100-way verbatim family costs 99 edges, not ~4,950.
-    Every emitted edge still flows through the estimated-Jaccard verify
-    (rep→member verifies at est 1.0), so a sig_hash collision — two
-    different signatures mixing to one int64, ~n²/2⁶⁵ — cannot ACCEPT a
-    false pair; it can only demote a doc to member of the wrong family,
-    dropping its rep-level candidates (disclosed, negligible odds)."""
-    outs = []
-    for _, g in group.groupby("band_key", sort=False):
-        docs = g.drop_duplicates("doc_id")
-        if len(docs) < 2:
-            continue
-        ids = docs["doc_id"].to_numpy()
-        sh = docs["sig_hash"].to_numpy()
-        order = np.lexsort((ids, sh))
-        ids, sh = ids[order], sh[order]
-        uniq, first = np.unique(sh, return_index=True)
-        counts = np.diff(np.append(first, len(ids)))
-        reps = ids[first]  # min doc_id per signature (ids ascend within sh)
-        rep_of = np.repeat(reps, counts)
+def _star_edges(
+    n_nodes: int, u: np.ndarray, v: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(root_idx, node_idx) STAR edges connectivity-equivalent to the edge
+    multiset (u, v): a local union-find merges the edges, then every
+    non-root node that touched an edge links DIRECTLY to its component
+    root.  ≤ n_nodes-1 edges out (downstream propagation sees O(nodes),
+    not O(pairs), rows) and every in-bucket component flattens to a
+    diameter-2 star — a chain-capped 50k-sim bucket would otherwise hand
+    the distributed union-find a 50k-long path, log₂ of which is ~16
+    propagation rounds (measured on the 500k stress corpus).  Components
+    are identical by construction.  Path-halving; u/v are int node
+    indices in [0, n_nodes)."""
+    parent = np.arange(n_nodes, dtype=np.int64)
+    touched = np.zeros(n_nodes, dtype=bool)
+    touched[u] = True
+    touched[v] = True
+    for i in range(len(u)):
+        x = int(u[i])
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = int(parent[x])
+        y = int(v[i])
+        while parent[y] != y:
+            parent[y] = parent[parent[y]]
+            y = int(parent[y])
+        if x != y:
+            if y < x:
+                x, y = y, x
+            parent[y] = x
+    # final root per touched node (roots are min indices by the union rule)
+    idx = np.flatnonzero(touched)
+    roots = np.empty(len(idx), dtype=np.int64)
+    for k, n0 in enumerate(idx):
+        x = int(n0)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = int(parent[x])
+        roots[k] = x
+    non_root = roots != idx
+    return roots[non_root], idx[non_root]
+
+
+def _run_starts(*keys: np.ndarray) -> np.ndarray:
+    """Boolean "new run" mask over rows sorted by the given key columns —
+    True where ANY key differs from the previous row (overflow-safe, no
+    diff/prepend on arbitrary int64)."""
+    n = len(keys[0])
+    new = np.zeros(n, dtype=bool)
+    if not n:
+        return new
+    new[0] = True
+    for k in keys:
+        new[1:] |= k[1:] != k[:-1]
+    return new
+
+
+def _make_minhash_cluster_edges(threshold: float):
+    """Per-bucket verified SPANNING edges for dedup_minhash_clusters: rows
+    are (band_key, doc_id, sig_hash, sig).  Per band bucket, docs sharing
+    the full-signature hash collapse to a min-doc_id representative
+    (members attach by linear rep→member edges, est 1.0); the capped
+    pairing runs across the distinct-signature reps ONLY, each pair
+    verified by estimated Jaccard IN-BUCKET (the 512-byte sigs ride the
+    band exchange), and a local union-find re-emits each in-bucket
+    component as a root→node star (see _star_edges — connectivity
+    preserved, O(nodes) edges, diameter 2).  Candidate set + verification
+    match the serial oracle
+    (td_oracle.dedup_minhash_clusters_expected) exactly; the spanning
+    reduction preserves its components by construction.  Same disclosed
+    sig_hash-collision caveat as the r4 collapse stage (a collision
+    can only demote a doc to member of the wrong family, never accept a
+    false pair — the est verify still gates every cross-sig edge)."""
+
+    def edges(group: pd.DataFrame) -> pa.Table:
+        if group.empty:
+            return _PAIR_SCHEMA.empty_table()
+        bk = group["band_key"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        sh = group["sig_hash"].to_numpy()
+        sig_obj = group["sig"].to_numpy()
+        order = np.lexsort((ids, sh, bk))
+        bk, ids, sh = bk[order], ids[order], sh[order]
+        sig_obj = sig_obj[order]
+        # drop duplicate (band_key, doc_id) rows (a doc appears once per
+        # band, but hash-bucketed groups may see repeats via collisions)
+        first_doc = _run_starts(bk, ids)
+        bk, ids, sh, sig_obj = (
+            bk[first_doc], ids[first_doc], sh[first_doc], sig_obj[first_doc]
+        )
+        # runs of (band_key, sig_hash): rep = first doc_id (ids ascend
+        # within a run) — member edges vectorized across the whole group
+        new_sig = _run_starts(bk, sh)
+        sig_first = np.flatnonzero(new_sig)
+        run_len = np.diff(np.append(sig_first, len(ids)))
+        reps_per_run = ids[sig_first]
+        rep_of = np.repeat(reps_per_run, run_len)
         member = ids != rep_of
-        if member.any():
-            outs.append(
-                pd.DataFrame({"doc_a": rep_of[member], "doc_b": ids[member]})
-            )
-        k = len(reps)
-        if k < 2:
-            continue
-        rs = np.sort(reps)
-        if k > BUCKET_PAIR_CAP:
-            outs.append(pd.DataFrame({"doc_a": rs[:-1], "doc_b": rs[1:]}))
-        else:
-            iu = np.triu_indices(k, k=1)
-            outs.append(pd.DataFrame({"doc_a": rs[iu[0]], "doc_b": rs[iu[1]]}))
-    if not outs:
-        return _PAIR_SCHEMA.empty_table()
-    out = pd.concat(outs, ignore_index=True).drop_duplicates(ignore_index=True)
-    return table_from_pandas(out, _PAIR_SCHEMA)
+        a_out = [rep_of[member]]
+        b_out = [ids[member]]
+        # per band bucket: distinct-sig reps, capped pairing + in-bucket
+        # estimated-Jaccard verify + spanning reduction
+        bk_runs = bk[sig_first]
+        bucket_first = np.flatnonzero(_run_starts(bk_runs))
+        bucket_len = np.diff(np.append(bucket_first, len(bk_runs)))
+        for j in np.flatnonzero(bucket_len >= 2):
+            s = int(bucket_first[j])
+            m = int(bucket_len[j])
+            reps = reps_per_run[s : s + m]
+            rorder = np.argsort(reps)
+            reps_s = reps[rorder]
+            sig_mat = np.frombuffer(
+                b"".join(sig_obj[sig_first[s : s + m]][rorder]), dtype=np.uint64
+            ).reshape(m, _MINHASH_PERMS)
+            if m > BUCKET_PAIR_CAP:
+                u = np.arange(m - 1)
+                v = np.arange(1, m)
+            else:
+                u, v = np.triu_indices(m, k=1)
+            est = (sig_mat[u] == sig_mat[v]).mean(axis=1)
+            ok = est >= threshold
+            if not ok.any():
+                continue
+            ra, rb = _star_edges(m, u[ok], v[ok])
+            a_out.append(reps_s[ra])
+            b_out.append(reps_s[rb])
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(a_out).astype(np.int64)),
+             "doc_b": pa.array(np.concatenate(b_out).astype(np.int64))},
+            schema=_PAIR_SCHEMA,
+        )
+
+    return edges
 
 
 def _lsh_raw_pairs(
-    sigs_ds: "ray.data.Dataset", n_parts: int, collapse: bool = False
+    sigs_ds: "ray.data.Dataset", n_parts: int
 ) -> "ray.data.Dataset":
     """Capped in-bucket candidate pairs from the thin band shuffle, WITHOUT
     the cross-band dedup exchange (the few cross-band duplicates resolve on
     the driver in the common case, or in the fallback groupby).
-    Materialized — consumed by the driver pull and possibly the fallback.
-    ``collapse`` switches to the exact-dup-collapsed policy (cluster path:
-    component structure preserved, pair-level output reshaped)."""
+    Materialized — consumed by the driver pull and possibly the fallback."""
     from ..stages.blocking import add_bucket_int
 
     return (
-        minhash_bands(sigs_ds, with_sig_hash=collapse)
+        minhash_bands(sigs_ds)
         .map_batches(
             lambda b: add_bucket_int(b, "band_key", n_parts * 4),
             batch_format="pyarrow",
         )
         .groupby("bucket_part", num_partitions=n_parts)
-        .map_groups(
-            _bucket_collapsed_pairs if collapse else _bucket_candidate_pairs,
-            batch_format="pandas",
-        )
+        .map_groups(_bucket_candidate_pairs, batch_format="pandas")
         .materialize()
     )
 
@@ -1256,9 +1357,9 @@ def _minhash_verified_pairs(
 ) -> "ray.data.Dataset":
     """Estimated-Jaccard ≥ threshold verification of raw candidate pairs:
     size-guarded driver fast path (count cap on pairs, byte cap on
-    signatures) with the bucketed-exchange fallback — shared by
-    dedup_minhash (all-pairs candidates) and dedup_minhash_clusters
-    (exact-dup-collapsed candidates)."""
+    signatures) with the bucketed-exchange fallback — the pair-list ops'
+    tail (dedup_minhash; dedup_minhash_clusters verifies in-bucket since
+    round 5 and no longer routes through here)."""
     pairs_np = _pull_pairs(raw)
     if pairs_np is not None:
         pulled = _pull_payloads(
@@ -2266,55 +2367,20 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
 
 def _pairs_to_canonical(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Shared cluster tail for the near-dup family: (doc_a, doc_b) edge
-    dataset → general min-label propagation (the same distributed
-    union-find the linkage engine uses) → one row per component with the
-    min doc_id as its canonical representative."""
+    dataset → int64 min-label propagation (the same distributed union-find
+    loop the linkage engine uses, on the int node path — the r4 "doc/<id>"
+    string encoding paid object-dtype hashing per row per round) → one row
+    per component with the min doc_id as its canonical representative.
+    Labels ARE min member ids under min-propagation, so the canonical rep
+    per cluster is just the distinct label set."""
     import pyarrow as pa
 
-    from ..stages.clustering import connected_components
+    from ..stages.clustering import connected_components_int
 
-    def to_nodes(b: pa.Table) -> pa.Table:
-        # BOTH endpoints encode as "doc/<id>" — a doc that appears as doc_a
-        # in one pair and doc_b in another must be ONE node or chains never
-        # merge (clustering nodes are qid vs "{osm_type}/{osm_id}")
-        a_str = pc.cast(pc.cast(b.column("doc_a"), pa.int64()), pa.string())
-        return pa.table(
-            {
-                "qid": pc.binary_join_element_wise(
-                    pa.array(["doc"] * len(b)), a_str, "/"
-                ),
-                "osm_type": pa.array(["doc"] * len(b)),
-                "osm_id": pc.cast(b.column("doc_b"), pa.int64()),
-            },
-            schema=pa.schema(
-                [("qid", pa.string()), ("osm_type", pa.string()),
-                 ("osm_id", pa.int64())]
-            ),
-        )
-
-    labels = connected_components(
-        pairs.map_batches(to_nodes, batch_format="pyarrow")
-    )
-
-    def clean(batch: pa.Table) -> pa.Table:
-        # vectorized "doc/123" → 123 (invalid labels → -1, as before)
-        digits = pc.replace_substring_regex(
-            batch.column("node"), r"^(?:doc/)?(\d+)$", r"\1"
-        )
-        ok = pc.match_substring_regex(digits, r"^\d+$")
-        docs = pc.if_else(
-            ok, pc.cast(pc.if_else(ok, digits, "0"), pa.int64()),
-            pa.scalar(-1, pa.int64()),
-        )
-        return pa.table(
-            {"doc_id": docs,
-             "cluster_id": batch.column("cluster_id")}
-        )
-
-    cleaned = labels.map_batches(clean, batch_format="pyarrow")
-    reps = cleaned.groupby("cluster_id", num_partitions=8).min("doc_id")
+    labels = connected_components_int(pairs)
+    reps = labels.groupby("cluster_id", num_partitions=8).min("node")
     return reps.map_batches(
-        lambda b: pa.table({"canonical_doc": b.column("min(doc_id)")}),
+        lambda b: pa.table({"canonical_doc": b.column("min(node)")}),
         batch_format="pyarrow",
     )
 
@@ -2325,7 +2391,7 @@ def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dat
     per-cluster min doc_id survives.
 
     Unlike dedup_minhash (whose pair-list contract pins the all-pairs
-    in-bucket policy), the cluster path uses _bucket_collapsed_pairs: one
+    in-bucket policy), the cluster path collapses signatures in-bucket: one
     rep per distinct full signature, linear rep→member edges, quadratic
     work only across DISTINCT signatures — so a 100-way verbatim family
     verifies 99 edges instead of ~4,950 (VERDICT r4 #3) and the cap
@@ -2334,12 +2400,32 @@ def dedup_minhash_clusters(sf_dir: str, threshold: float = 0.8) -> "ray.data.Dat
     Component structure is otherwise identical: identical texts share
     every band bucket, so rep↔X candidates exist iff member↔X did, with
     the same estimate.  Mirrored serially by
-    sources/td_oracle.dedup_minhash_clusters_expected."""
+    sources/td_oracle.dedup_minhash_clusters_expected.
+
+    Round 5: the verify moved IN-BUCKET (sigs ride the band exchange,
+    512 B/row — see minhash_bands with_sig) and each bucket emits only
+    spanning edges of its verified subgraph, so the downstream work is
+    O(corpus), never O(candidate pairs): the r4 shape (thin pairs →
+    global dedup groupby → signature attach → verify) materialized ~10⁸
+    candidate rows and took 29 min on the 500k mass-duplicate stress
+    corpus where this takes one corpus-sized exchange."""
+    from ..stages.blocking import add_bucket_int
+
     n_parts = default_partitions()
-    sigs_ds = minhash_signatures(sf_dir).materialize()
-    raw = _lsh_raw_pairs(sigs_ds, n_parts, collapse=True)
-    verified = _minhash_verified_pairs(sigs_ds, n_parts, threshold, raw)
-    return _pairs_to_canonical(verified)
+    bands = minhash_bands(
+        minhash_signatures(sf_dir), with_sig_hash=True, with_sig=True
+    )
+    edges = (
+        bands.map_batches(
+            lambda b: add_bucket_int(b, "band_key", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(
+            _make_minhash_cluster_edges(threshold), batch_format="pandas"
+        )
+    )
+    return _pairs_to_canonical(edges)
 
 
 def dedup_simhash_clusters(
@@ -2356,51 +2442,62 @@ def dedup_simhash_clusters(
     cross-signature edges are then verified only between the distinct
     sims of the bucket (capped by BUCKET_PAIR_CAP with the same
     connectivity-preserving adjacent-chain policy, over sims sorted
-    ascending).  A 100-way verbatim family therefore costs 99 edges
+    ascending), and a per-bucket union-find re-emits each in-bucket
+    component as a root→node star (_star_edges — downstream propagation
+    sees O(nodes), not O(verified pairs), rows at diameter 2; components
+    identical by construction).  A 100-way verbatim family costs 99 edges
     instead of ~4,950 pairs, and component labels + canonical reps come
     out of the shared distributed union-find tail.  Mirrored serially by
-    sources/td_oracle.dedup_simhash_clusters_expected."""
+    sources/td_oracle.dedup_simhash_clusters_expected (the mirror
+    union-finds over ALL verified candidates — same components)."""
     n_parts = default_partitions()
-    empty = pd.DataFrame(
-        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
-    )
 
-    def bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
-        a_out: list[np.ndarray] = []
-        b_out: list[np.ndarray] = []
-        for _, g in group.groupby("seg_key", sort=False):
-            docs = g.drop_duplicates("doc_id")
-            ids = docs["doc_id"].to_numpy()
-            if len(ids) < 2:
-                continue
-            sims = docs["sim"].to_numpy().astype(np.uint64)
-            order = np.lexsort((ids, sims))
-            ids, sims = ids[order], sims[order]
-            uniq_sims, first = np.unique(sims, return_index=True)
-            counts = np.diff(np.append(first, len(ids)))
-            reps = ids[first]  # min doc_id per sim (ids ascend within sim)
-            rep_of = np.repeat(reps, counts)
-            member = ids != rep_of
-            if member.any():
-                a_out.append(rep_of[member])
-                b_out.append(ids[member])
-            m = len(uniq_sims)
-            if m < 2:
-                continue
+    def bucket_edges(group: pd.DataFrame) -> pa.Table:
+        if group.empty:
+            return _PAIR_SCHEMA.empty_table()
+        sk = group["seg_key"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        sims = group["sim"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, sims, sk))
+        sk, ids, sims = sk[order], ids[order], sims[order]
+        first_doc = _run_starts(sk, ids)
+        sk, ids, sims = sk[first_doc], ids[first_doc], sims[first_doc]
+        # runs of (seg_key, sim): rep = first (min) doc_id — member edges
+        # vectorized across the whole group, no per-key frames (CLAUDE.md)
+        new_sim = _run_starts(sk, sims.view(np.int64))
+        sim_first = np.flatnonzero(new_sim)
+        run_len = np.diff(np.append(sim_first, len(ids)))
+        reps_per_run = ids[sim_first]
+        rep_of = np.repeat(reps_per_run, run_len)
+        member = ids != rep_of
+        a_out = [rep_of[member]]
+        b_out = [ids[member]]
+        # per segment bucket: hamming verify across distinct sims (sims
+        # ascend within a bucket — the oracle's sorted(reps) order) +
+        # spanning reduction
+        sk_runs = sk[sim_first]
+        bucket_first = np.flatnonzero(_run_starts(sk_runs))
+        bucket_len = np.diff(np.append(bucket_first, len(sk_runs)))
+        for j in np.flatnonzero(bucket_len >= 2):
+            s = int(bucket_first[j])
+            m = int(bucket_len[j])
+            uniq_sims = sims[sim_first[s : s + m]]
+            reps = reps_per_run[s : s + m]
             if m > BUCKET_PAIR_CAP:
                 u = np.arange(m - 1)
                 v = np.arange(1, m)
             else:
                 u, v = np.triu_indices(m, k=1)
             keep = _popcount64(uniq_sims[u] ^ uniq_sims[v]) <= max_hamming
-            if keep.any():
-                a_out.append(reps[u[keep]])
-                b_out.append(reps[v[keep]])
-        if not a_out:
-            return empty
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(a_out).astype(np.int64),
-             "doc_b": np.concatenate(b_out).astype(np.int64)}
+            if not keep.any():
+                continue
+            ra, rb = _star_edges(m, u[keep], v[keep])
+            a_out.append(reps[ra])
+            b_out.append(reps[rb])
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(a_out).astype(np.int64)),
+             "doc_b": pa.array(np.concatenate(b_out).astype(np.int64))},
+            schema=_PAIR_SCHEMA,
         )
 
     edges = _simhash_grouped(sf_dir, n_parts).map_groups(

@@ -223,44 +223,56 @@ def _pairs_to_adjacency(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 _LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
+_LABEL_SCHEMA_INT = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+# int-node sentinel for "this is a label row, not an adjacency row" (string
+# nodes use ""); callers of connected_components_int must keep node ids ≥ 0
+_INT_EMPTY = -1
 
 
-def _propagate_bucket(bucket: pd.DataFrame) -> pa.Table:
-    """One hash BUCKET of nodes (VERDICT r3 #3: the per-node map_groups
-    violated the repo's own bucket-pattern invariant — millions of nodes
-    meant millions of group invocations).  A bucket holds, for each of its
-    nodes, the node's label rows (nbr == "") and adjacency rows; one
-    factorize + one pandas groupby-min computes every node's min label,
-    then numpy gathers emit (node, label) once per node plus
-    (nbr, node's label) per adjacency row.  Arrow out (metadata-free):
-    the labels re-enter the per-round groupby shuffle."""
-    nodes = bucket["node"].to_numpy()
-    nbrs = bucket["nbr"].to_numpy()
-    labels = bucket["label"].to_numpy()
-    codes, uniq = pd.factorize(nodes, sort=False)
-    uniq = np.asarray(uniq, dtype=object)
-    is_lab = nbrs == ""
-    # min label per node over its label rows; nodes with edges but no
-    # label yet (first round) label themselves
-    node_label = uniq.copy()
-    if is_lab.any():
-        gmin = (
-            pd.DataFrame({"c": codes[is_lab], "l": labels[is_lab]})
-            .groupby("c", sort=False)["l"]
-            .min()
+def _make_propagate(numeric: bool):
+    """Per-bucket propagation fn for one node dtype (VERDICT r3 #3: the
+    per-node map_groups violated the repo's own bucket-pattern invariant —
+    millions of nodes meant millions of group invocations).  A bucket
+    holds, for each of its nodes, the node's label rows (nbr == sentinel)
+    and adjacency rows; one factorize + one pandas groupby-min computes
+    every node's min label, then numpy gathers emit (node, label) once per
+    node plus (nbr, node's label) per adjacency row.  Arrow out
+    (metadata-free): the labels re-enter the per-round groupby shuffle."""
+    empty = _INT_EMPTY if numeric else ""
+    schema = _LABEL_SCHEMA_INT if numeric else _LABEL_SCHEMA
+    node_t = pa.int64() if numeric else pa.string()
+
+    def _propagate_bucket(bucket: pd.DataFrame) -> pa.Table:
+        nodes = bucket["node"].to_numpy()
+        nbrs = bucket["nbr"].to_numpy()
+        labels = bucket["label"].to_numpy()
+        codes, uniq = pd.factorize(nodes, sort=False)
+        if not numeric:
+            uniq = np.asarray(uniq, dtype=object)
+        is_lab = nbrs == empty
+        # min label per node over its label rows; nodes with edges but no
+        # label yet (first round) label themselves
+        node_label = uniq.copy()
+        if is_lab.any():
+            gmin = (
+                pd.DataFrame({"c": codes[is_lab], "l": labels[is_lab]})
+                .groupby("c", sort=False)["l"]
+                .min()
+            )
+            node_label[gmin.index.to_numpy()] = gmin.to_numpy()
+        adj = ~is_lab
+        out_nodes = np.concatenate([uniq, nbrs[adj]])
+        out_labels = np.concatenate([node_label, node_label[codes[adj]]])
+        return pa.table(
+            {"node": pa.array(out_nodes, node_t),
+             "label": pa.array(out_labels, node_t)},
+            schema=schema,
         )
-        node_label[gmin.index.to_numpy()] = gmin.to_numpy()
-    adj = ~is_lab
-    out_nodes = np.concatenate([uniq, nbrs[adj]])
-    out_labels = np.concatenate([node_label, node_label[codes[adj]]])
-    return pa.table(
-        {"node": pa.array(out_nodes, pa.string()),
-         "label": pa.array(out_labels, pa.string())},
-        schema=_LABEL_SCHEMA,
-    )
+
+    return _propagate_bucket
 
 
-def _label_checksum(labels: "ray.data.Dataset") -> int:
+def _label_checksum(labels: "ray.data.Dataset", numeric: bool = False) -> int:
     """Order-insensitive multiset checksum of (node, label) rows.
 
     Labels only decrease under min-propagation, so equal checksums between
@@ -269,12 +281,20 @@ def _label_checksum(labels: "ray.data.Dataset") -> int:
     def crc(batch: pa.Table) -> pa.Table:
         import pandas as _pd
 
-        joined = pc.binary_join_element_wise(
-            batch.column("node"), batch.column("label"), "\x1f"
-        )
-        h = _pd.util.hash_array(
-            joined.to_numpy(zero_copy_only=False), categorize=False
-        )
+        if numeric:
+            node = batch.column("node").to_numpy(zero_copy_only=False)
+            lab = batch.column("label").to_numpy(zero_copy_only=False)
+            mixed = node.astype(np.uint64) ^ (
+                lab.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            )
+            h = _pd.util.hash_array(mixed, categorize=False)
+        else:
+            joined = pc.binary_join_element_wise(
+                batch.column("node"), batch.column("label"), "\x1f"
+            )
+            h = _pd.util.hash_array(
+                joined.to_numpy(zero_copy_only=False), categorize=False
+            )
         # sum in uint64 wrap-around, exported as int64 (order-insensitive)
         total = int(h.sum(dtype=np.uint64).astype(np.int64))
         return pa.table({"crc": pa.array([total], pa.int64())})
@@ -320,26 +340,25 @@ def clusters_from_disjoint_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset
     return pairs.map_batches(emit, batch_format="pyarrow")
 
 
-def connected_components(
-    pairs: "ray.data.Dataset",
-    max_rounds: int = 24,  # doubling: covers diameter ~2^23 components
-    num_partitions: int | None = None,  # kept for API compat; unused
+def _cc_loop(
+    adj: "ray.data.Dataset", numeric: bool, max_rounds: int
 ) -> "ray.data.Dataset":
-    """(node, cluster_id) labels via join-free min-label propagation with
-    hash-to-min shortcut edges.
+    """Shared min-label-propagation loop over a materialized symmetric
+    adjacency (node, nbr) dataset; returns (node, label).  ``numeric``
+    selects int64 node ids with the -1 sentinel (the doc-dedup family —
+    int exchanges sort/hash several× faster than the object-dtype string
+    rows the linkage graph needs) vs strings with "" (qid / "type/id")."""
+    from .blocking import add_bucket_int
 
-    Plain one-hop min propagation converges in O(diameter) rounds — a
-    ring-paired mega-duplicate cluster (stages ring-pair past
-    BUCKET_PAIR_CAP, so a 10⁶-copy component is a 10⁶-cycle) would need
-    ~10⁶ rounds.  Each round therefore ALSO feeds the current label table
-    back in as bidirectional edges (node↔label): once u points at label L,
-    L hears of u's neighbors' labels next round and vice versa, so label
-    distance doubles per round and convergence is O(log diameter)
-    (hash-to-min, Rastogi et al. 2012).  Shortcut edges stay inside the
-    component (labels start as member node ids and only decrease), so no
-    cross-component merging is possible.  A per-round label-multiset
-    checksum exits early on convergence."""
-    adj = _pairs_to_adjacency(pairs).materialize()
+    node_t = pa.int64() if numeric else pa.string()
+    bucket_col = "bucket_part" if numeric else "bucket"
+    bucket_fn = add_bucket_int if numeric else add_bucket
+    propagate = _make_propagate(numeric)
+
+    def fill(n: int) -> pa.Array:
+        if numeric:
+            return pa.array(np.full(n, _INT_EMPTY, np.int64), pa.int64())
+        return pa.array([""] * n, pa.string())
 
     # Partition count sized to the GRAPH, not the session default: each
     # round launches ~one task per block across two all-to-alls, so a tiny
@@ -358,7 +377,7 @@ def connected_components(
     # initial labels: every node labels itself
     labels = adj.map_batches(
         lambda b: pa.table(
-            {"node": b.column("node"), "nbr": pa.array([""] * len(b), pa.string()),
+            {"node": b.column("node"), "nbr": fill(len(b)),
              "label": b.column("node")}
         ),
         batch_format="pyarrow",
@@ -369,7 +388,7 @@ def connected_components(
         # (label == node) are harmless but carry no information — drop them
         keep = pc.invert(pc.equal(b.column("node"), b.column("label")))
         b = b.filter(keep)
-        empty = pa.array([""] * len(b), pa.string())
+        empty = fill(len(b))
         return pa.concat_tables(
             [pa.table({"node": b.column("node"), "nbr": b.column("label"),
                        "label": empty}),
@@ -382,14 +401,13 @@ def connected_components(
         combined = adj.map_batches(
             lambda b: pa.table(
                 {"node": b.column("node"), "nbr": b.column("nbr"),
-                 "label": pa.array([""] * len(b), pa.string())}
+                 "label": fill(len(b))}
             ),
             batch_format="pyarrow",
         ).union(
             labels.map_batches(
                 lambda b: pa.table(
-                    {"node": b.column("node"),
-                     "nbr": pa.array([""] * len(b), pa.string()),
+                    {"node": b.column("node"), "nbr": fill(len(b)),
                      "label": b.column("label")}
                 ),
                 batch_format="pyarrow",
@@ -399,11 +417,11 @@ def connected_components(
         n_parts = round_parts
         msgs = (
             combined.map_batches(
-                lambda b: add_bucket(b, "node", n_parts * 4),
+                lambda b: bucket_fn(b, "node", n_parts * 4),
                 batch_format="pyarrow",
             )
-            .groupby("bucket", num_partitions=n_parts)
-            .map_groups(_propagate_bucket, batch_format="pandas")
+            .groupby(bucket_col, num_partitions=n_parts)
+            .map_groups(propagate, batch_format="pandas")
             # barrier between the two all-to-all exchanges (CLAUDE.md
             # invariant — measured: the unfused loop hangs/crawls without it)
             .materialize()
@@ -425,11 +443,86 @@ def connected_components(
             .repartition(n_parts)
             .materialize()
         )
-        crc = _label_checksum(labels)
+        crc = _label_checksum(labels, numeric)
         if crc == prev_crc:
             break
         prev_crc = crc
 
+    return labels
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    max_rounds: int = 24,  # doubling: covers diameter ~2^23 components
+    num_partitions: int | None = None,  # kept for API compat; unused
+) -> "ray.data.Dataset":
+    """(node, cluster_id) labels via join-free min-label propagation with
+    hash-to-min shortcut edges.
+
+    Plain one-hop min propagation converges in O(diameter) rounds — a
+    ring-paired mega-duplicate cluster (stages ring-pair past
+    BUCKET_PAIR_CAP, so a 10⁶-copy component is a 10⁶-cycle) would need
+    ~10⁶ rounds.  Each round therefore ALSO feeds the current label table
+    back in as bidirectional edges (node↔label): once u points at label L,
+    L hears of u's neighbors' labels next round and vice versa, so label
+    distance doubles per round and convergence is O(log diameter)
+    (hash-to-min, Rastogi et al. 2012).  Shortcut edges stay inside the
+    component (labels start as member node ids and only decrease), so no
+    cross-component merging is possible.  A per-round label-multiset
+    checksum exits early on convergence."""
+    adj = _pairs_to_adjacency(pairs).materialize()
+    labels = _cc_loop(adj, numeric=False, max_rounds=max_rounds)
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "cluster_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_ADJ_SCHEMA_INT = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+
+
+def connected_components_int(
+    edges: "ray.data.Dataset",
+    max_rounds: int = 24,
+) -> "ray.data.Dataset":
+    """connected_components over int64 (doc_a, doc_b) edges → (node int64,
+    cluster_id int64).  Node ids must be ≥ 0 (-1 is the internal label-row
+    sentinel).  The doc-dedup cluster family uses this path: the r4 string
+    encoding ("doc/123") paid object-dtype hashing and sorting on every
+    all-to-all row of every round."""
+
+    def to_adj(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch.column("doc_a"), pa.int64())
+        v = pc.cast(batch.column("doc_b"), pa.int64())
+        return pa.concat_tables(
+            [pa.table({"node": u, "nbr": v}, schema=_ADJ_SCHEMA_INT),
+             pa.table({"node": v, "nbr": u}, schema=_ADJ_SCHEMA_INT)]
+        )
+
+    # one thin (16 B/row) dedup exchange up front: per-bucket emitters
+    # repeat an edge once per band/segment bucket it survives in (≤16×),
+    # and every propagation round re-ships the whole adjacency — paying
+    # one dedup here is repaid each round
+    deduped = (
+        edges.map_batches(
+            lambda b: pa.table(
+                {"doc_a": pc.min_element_wise(
+                    pc.cast(b.column("doc_a"), pa.int64()),
+                    pc.cast(b.column("doc_b"), pa.int64())),
+                 "doc_b": pc.max_element_wise(
+                    pc.cast(b.column("doc_a"), pa.int64()),
+                    pc.cast(b.column("doc_b"), pa.int64()))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["doc_a", "doc_b"], num_partitions=default_partitions())
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+    )
+    adj = deduped.map_batches(to_adj, batch_format="pyarrow").materialize()
+    labels = _cc_loop(adj, numeric=True, max_rounds=max_rounds)
     return labels.map_batches(
         lambda b: pa.table(
             {"node": b.column("node"), "cluster_id": b.column("label")}
