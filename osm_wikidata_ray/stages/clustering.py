@@ -360,6 +360,17 @@ def _cc_loop(
             return pa.array(np.full(n, _INT_EMPTY, np.int64), pa.int64())
         return pa.array([""] * n, pa.string())
 
+    def cut(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        # Sever the logical-plan lineage of a materialized dataset: Ray
+        # 2.49's materialize() keeps the upstream LOGICAL plan, and labels
+        # re-enter the next round's union TWICE, so the plan tree doubles
+        # per round — measured: per-round wall and the tiny checksum both
+        # DOUBLE every round (0.1→19.6 s over 12 rounds on a 60k-node
+        # chain) until the driver is 100% busy re-optimizing 2^round plan
+        # nodes.  Rebuilding from the materialized Arrow block refs is
+        # zero-copy and makes every round's plan depth constant.
+        return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
     # Partition count sized to the GRAPH, not the session default: each
     # round launches ~one task per block across two all-to-alls, so a tiny
     # edge set (the common case for near-dup clustering after signature
@@ -373,6 +384,7 @@ def _cc_loop(
     round_parts = max(1, min(default_partitions(), n_adj // 65536 + 1))
     if adj.num_blocks() > 4 * round_parts:
         adj = adj.repartition(round_parts).materialize()
+    adj = cut(adj)  # adj re-enters every round's union
 
     # initial labels: every node labels itself
     labels = adj.map_batches(
@@ -396,8 +408,14 @@ def _cc_loop(
                        "label": empty})]
         )
 
+    import os
+    import time as _time
+
+    cc_debug = os.environ.get("OSMW_CC_DEBUG") == "1"
+
     prev_crc: int | None = None
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        _t0 = _time.time()
         combined = adj.map_batches(
             lambda b: pa.table(
                 {"node": b.column("node"), "nbr": b.column("nbr"),
@@ -443,7 +461,16 @@ def _cc_loop(
             .repartition(n_parts)
             .materialize()
         )
+        labels = cut(labels)
+        _t1 = _time.time()
         crc = _label_checksum(labels, numeric)
+        if cc_debug:
+            print(
+                f"cc round {_round}: propagate {_t1 - _t0:.1f}s "
+                f"crc {_time.time() - _t1:.1f}s "
+                f"(n_adj={n_adj}, parts={round_parts})",
+                flush=True,
+            )
         if crc == prev_crc:
             break
         prev_crc = crc
