@@ -992,18 +992,22 @@ def _attach_by_key(
 
 
 def _star_edges(
-    n_nodes: int, u: np.ndarray, v: np.ndarray
+    values: np.ndarray, u: np.ndarray, v: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(root_idx, node_idx) STAR edges connectivity-equivalent to the edge
-    multiset (u, v): a local union-find merges the edges, then every
-    non-root node that touched an edge links DIRECTLY to its component
-    root.  ≤ n_nodes-1 edges out (downstream propagation sees O(nodes),
-    not O(pairs), rows) and every in-bucket component flattens to a
-    diameter-2 star — a chain-capped 50k-sim bucket would otherwise hand
-    the distributed union-find a 50k-long path, log₂ of which is ~16
-    propagation rounds (measured on the 500k stress corpus).  Components
-    are identical by construction.  Path-halving; u/v are int node
-    indices in [0, n_nodes)."""
+    """(root_value, node_value) STAR edges connectivity-equivalent to the
+    edge multiset (u, v): a local union-find merges the edges, then every
+    touched node links DIRECTLY to its component's min-VALUE member.
+    ≤ n_nodes-1 edges out (downstream propagation sees O(nodes), not
+    O(pairs), rows) and every in-bucket component flattens to a diameter-2
+    star — a chain-capped 50k-sim bucket would otherwise hand the
+    distributed union-find a 50k-long path, log₂ of which is ~16
+    propagation rounds (measured on the 500k stress corpus).  Rooting at
+    the min node VALUE (doc id), not the min index, makes overlapping
+    buckets of one family elect the SAME root, so cross-bucket diameter
+    collapses too (sim-ordered simhash buckets otherwise chain through a
+    different arbitrary root per bucket).  Components are identical by
+    construction.  Path-halving; u/v are int indices into ``values``."""
+    n_nodes = len(values)
     parent = np.arange(n_nodes, dtype=np.int64)
     touched = np.zeros(n_nodes, dtype=bool)
     touched[u] = True
@@ -1021,7 +1025,7 @@ def _star_edges(
             if y < x:
                 x, y = y, x
             parent[y] = x
-    # final root per touched node (roots are min indices by the union rule)
+    # final root per touched node, then min VALUE per component as center
     idx = np.flatnonzero(touched)
     roots = np.empty(len(idx), dtype=np.int64)
     for k, n0 in enumerate(idx):
@@ -1030,8 +1034,14 @@ def _star_edges(
             parent[x] = parent[parent[x]]
             x = int(parent[x])
         roots[k] = x
-    non_root = roots != idx
-    return roots[non_root], idx[non_root]
+    vals = values[idx].astype(np.int64)
+    order = np.argsort(roots, kind="stable")
+    r_sorted, v_sorted = roots[order], vals[order]
+    starts = np.flatnonzero(_run_starts(r_sorted))
+    comp_min = np.minimum.reduceat(v_sorted, starts)
+    centers = np.repeat(comp_min, np.diff(np.append(starts, len(r_sorted))))
+    non_center = v_sorted != centers
+    return centers[non_center], v_sorted[non_center]
 
 
 def _run_starts(*keys: np.ndarray) -> np.ndarray:
@@ -1114,9 +1124,9 @@ def _make_minhash_cluster_edges(threshold: float):
             ok = est >= threshold
             if not ok.any():
                 continue
-            ra, rb = _star_edges(m, u[ok], v[ok])
-            a_out.append(reps_s[ra])
-            b_out.append(reps_s[rb])
+            ea, eb = _star_edges(reps_s, u[ok], v[ok])
+            a_out.append(ea)
+            b_out.append(eb)
         return pa.table(
             {"doc_a": pa.array(np.concatenate(a_out).astype(np.int64)),
              "doc_b": pa.array(np.concatenate(b_out).astype(np.int64))},
@@ -2491,9 +2501,9 @@ def dedup_simhash_clusters(
             keep = _popcount64(uniq_sims[u] ^ uniq_sims[v]) <= max_hamming
             if not keep.any():
                 continue
-            ra, rb = _star_edges(m, u[keep], v[keep])
-            a_out.append(reps[ra])
-            b_out.append(reps[rb])
+            ea, eb = _star_edges(reps, u[keep], v[keep])
+            a_out.append(ea)
+            b_out.append(eb)
         return pa.table(
             {"doc_a": pa.array(np.concatenate(a_out).astype(np.int64)),
              "doc_b": pa.array(np.concatenate(b_out).astype(np.int64))},

@@ -631,6 +631,44 @@ def test_connected_components_long_chain_and_ring(ray_session):
     assert cl.cluster_id.iloc[0] == "Q0000"
 
 
+def test_connected_components_int_branch_parity(ray_session):
+    """connected_components_int's size-guarded driver union-find and the
+    distributed min-label fallback label identical components (CLAUDE.md:
+    every guarded driver fast path needs both branches parity-tested).
+    Graph: chains + a ring + singleton-free pairs, deterministic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_wikidata_ray.stages.clustering import connected_components_int
+
+    rng = np.random.RandomState(7)
+    # three chains of 50 + a 30-ring + random extra intra-chain edges
+    a, b = [], []
+    for base in (0, 1000, 2000):
+        a += list(range(base, base + 49))
+        b += list(range(base + 1, base + 50))
+    a += [3000 + i for i in range(30)]
+    b += [3000 + (i + 1) % 30 for i in range(30)]
+    extra = rng.randint(0, 49, size=(20, 2))
+    a += (extra[:, 0] + 1000).tolist()
+    b += (extra[:, 1] + 1000).tolist()
+    edges = ray_session.data.from_arrow(
+        pa.table({"doc_a": pa.array(a, pa.int64()),
+                  "doc_b": pa.array(b, pa.int64())})
+    ).repartition(6)
+    fast = (
+        connected_components_int(edges).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        connected_components_int(edges, driver_edge_cap=0).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    assert fast.equals(dist)
+    assert fast.cluster_id.nunique() == 4
+    assert set(fast.cluster_id) == {0, 1000, 2000, 3000}
+
+
 def test_verify_run_distributed(ray_session, tmp_path):
     """cmd_verify's engine (cli.verify_run) is a bucketed co-partitioned
     anti-join — green on an intact run, ≥1 mismatch after corrupting one
