@@ -645,6 +645,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": lambda sf: td.ann_topk_ivf(sf)
         .select_columns(["query_id", "vec_id"])
         .sort(["query_id", "vec_id"]),
+        # Lloyd's k-means in integer arithmetic — bit-exact vs the serial
+        # mirror regardless of batching/partition order
+        "embedding_kmeans": lambda sf: td.embedding_kmeans(sf).sort(
+            ["vec_id"]
+        ),
         # --- relational operator proofs (exact DuckDB oracles) ---
         "stratified_sample": lambda sf: td.stratified_sample(sf).sort(
             ["doc_id"]
@@ -761,7 +766,7 @@ def oracle_sql() -> dict[str, str]:
         for name in (
             "dedup_minhash", "dedup_simhash", "dedup_minhash_clusters",
             "dedup_simhash_clusters", "dedup_embedding_cosine",
-            "ann_topk_ivf", "doc_fingerprint",
+            "ann_topk_ivf", "doc_fingerprint", "embedding_kmeans",
         )
     }
     return {
@@ -794,6 +799,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id
             FROM read_parquet('{td_dumps["ann_topk_ivf"]}')
             ORDER BY query_id, vec_id
+        """,
+        "embedding_kmeans": f"""
+            SELECT vec_id, cluster, dist
+            FROM read_parquet('{td_dumps["embedding_kmeans"]}')
+            ORDER BY vec_id
         """,
         # flagship scored-pair views vs the single-process serial oracle
         # (sources/oracle.py) — same rule library, independent orchestration

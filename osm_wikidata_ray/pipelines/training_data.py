@@ -3152,6 +3152,141 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# k-means quantization scale: embeddings quantize to int64 at 2^20 so every
+# sum/distance/argmin in the Lloyd loop is INTEGER arithmetic — associative
+# and commutative, hence bit-identical regardless of batch boundaries,
+# partition order or BLAS kernel choice (float partial sums drift with
+# summation order, which would unseat the serial oracle)
+_KM_SCALE = 1 << 20
+
+
+def _km_quantize(vecs: np.ndarray) -> np.ndarray:
+    # float64 BEFORE the scale multiply: float32 inputs would round the
+    # product in float32 and diverge from the serial oracle's float64 path
+    return np.rint(vecs.astype(np.float64) * _KM_SCALE).astype(np.int64)
+
+
+def _km_assign(q: np.ndarray, cq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(assignments, squared int distances) of quantized rows q (n, d)
+    against quantized centroids cq (k, d) — exact int64 math, ties break to
+    the lowest cluster id (np.argmin first-min)."""
+    n = len(q)
+    d2 = np.empty((n, len(cq)), dtype=np.int64)
+    for j in range(len(cq)):
+        diff = q - cq[j]
+        d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    assign = np.argmin(d2, axis=1)
+    return assign, d2[np.arange(n), assign]
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = 8, iters: int = 4
+) -> "ray.data.Dataset":
+    """Lloyd's k-means over the embeddings table — the embedding-clustering
+    primitive of dataset curation (SemDeDup-style cluster-then-prune, IVF
+    list building, coreset selection).  Fully deterministic and
+    partition-order independent:
+
+    - init: the vectors of the k lowest vec_ids, found with a per-batch
+      partial min-k combiner (k rows per batch to the driver — no sort,
+      no full-table read);
+    - each iteration broadcasts the (k, d) int64 centroid matrix via
+      ray.put; ONE corpus pass assigns argmin squared-L2 in int64
+      (_km_assign) and emits per-cluster partial sums of the quantized
+      vectors + counts (k rows per batch — integer addition makes the
+      centroid trajectory bit-exact however Ray batches the corpus);
+      the driver reduces the tiny partials and floor-divides to the next
+      centroids (empty cluster keeps its previous centroid);
+    - final pass emits (vec_id, cluster, dist) with dist = sqrt(d2)/2^20
+      rounded to 6 dp.
+
+    Mirrored serially by td_oracle.embedding_kmeans_expected (identical
+    integer algorithm)."""
+    from ..util import list_column_to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    # init: global k lowest vec_ids via per-batch partial min-k
+    def min_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[take], pa.int64()),
+             "embedding": batch.column("embedding").take(pa.array(take))}
+        )
+
+    init_parts = ds.map_batches(min_k, batch_format="pyarrow").to_pandas()
+    init_parts = init_parts.sort_values("vec_id").head(k)
+    cq = _km_quantize(np.stack(init_parts["embedding"].to_numpy()))
+
+    part_schema = pa.schema(
+        [("cluster", pa.int64()), ("n", pa.int64()),
+         ("qsum", pa.list_(pa.int64()))]
+    )
+
+    for _ in range(iters):
+        cq_ref = ray.put(cq)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cqm = _enrich_cache.get(cq_ref.hex())
+            if cqm is None:
+                cqm = ray.get(cq_ref)
+                _enrich_cache.clear()
+                _enrich_cache[cq_ref.hex()] = cqm
+            q = _km_quantize(
+                list_column_to_matrix(batch.column("embedding")).astype(
+                    np.float64
+                )
+            )
+            assign, _ = _km_assign(q, cqm)
+            sums = np.zeros((len(cqm), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            counts = np.bincount(assign, minlength=len(cqm)).astype(np.int64)
+            return pa.table(
+                {"cluster": pa.array(np.arange(len(cqm)), pa.int64()),
+                 "n": pa.array(counts, pa.int64()),
+                 "qsum": pa.array(sums.tolist(), pa.list_(pa.int64()))},
+                schema=part_schema,
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cq)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts.itertuples():
+            sums[r.cluster] += np.asarray(r.qsum, dtype=np.int64)
+            counts[r.cluster] += int(r.n)
+        nonempty = counts > 0
+        cq = np.where(
+            nonempty[:, None], sums // np.maximum(counts, 1)[:, None], cq
+        )
+
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()),
+         ("dist", pa.float64())]
+    )
+    final_ref = ray.put(cq)
+
+    def label(batch: pa.Table) -> pa.Table:
+        cqm = _enrich_cache.get(final_ref.hex())
+        if cqm is None:
+            cqm = ray.get(final_ref)
+            _enrich_cache.clear()
+            _enrich_cache[final_ref.hex()] = cqm
+        q = _km_quantize(
+            list_column_to_matrix(batch.column("embedding")).astype(np.float64)
+        )
+        assign, d2 = _km_assign(q, cqm)
+        dist = np.round(np.sqrt(d2.astype(np.float64)) / _KM_SCALE, 6)
+        return pa.table(
+            {"vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+             "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+             "dist": pa.array(dist, pa.float64())},
+            schema=out_schema,
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
 # --- test-set contamination ---
 
 CONTAM_BROADCAST_BYTES_CAP = 64 << 20  # heldout window-text broadcast cap

@@ -22,6 +22,7 @@ import pyarrow.parquet as pq
 
 from ..pipelines.training_data import (
     BUCKET_PAIR_CAP,
+    _KM_SCALE,
     _lsh_planes_for,
     _MH_A,
     _MH_B,
@@ -478,3 +479,43 @@ def video_frames_expected(docs_parquet: str, stride: int = 2) -> pd.DataFrame:
                 rows.append((f"{doc_id}#{s['offset']}", k, psum))
     df = pd.DataFrame(rows, columns=["media_id", "frame_no", "pixel_sum"])
     return df.astype({"frame_no": "int64", "pixel_sum": "int64"})
+
+
+def embedding_kmeans_expected(
+    sf_dir: str, k: int = 8, iters: int = 4
+) -> pd.DataFrame:
+    """Serial Lloyd's k-means mirror of pipelines.training_data.
+    embedding_kmeans: identical INTEGER algorithm (quantize at _KM_SCALE,
+    int64 squared distances, argmin ties to the lowest cluster, floor-div
+    centroid update, empty cluster keeps its centroid), one plain numpy
+    loop — the engine's partial-sum orchestration is what the driver
+    check exercises."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(vec_ids, kind="stable")
+    vec_ids, vecs = vec_ids[order], vecs[order]
+    q = np.rint(vecs * _KM_SCALE).astype(np.int64)
+    cq = q[:k].copy()  # k lowest vec_ids
+
+    def assign_all(cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        d2 = np.empty((len(q), len(cent)), dtype=np.int64)
+        for j in range(len(cent)):
+            diff = q - cent[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
+        a = np.argmin(d2, axis=1)
+        return a, d2[np.arange(len(q)), a]
+
+    for _ in range(iters):
+        a, _d = assign_all(cq)
+        for j in range(k):
+            members = q[a == j]
+            if len(members):
+                cq[j] = members.sum(axis=0) // len(members)
+    a, d2 = assign_all(cq)
+    dist = np.round(np.sqrt(d2.astype(np.float64)) / _KM_SCALE, 6)
+    return pd.DataFrame(
+        {"vec_id": vec_ids, "cluster": a.astype(np.int64), "dist": dist}
+    ).sort_values("vec_id").reset_index(drop=True)

@@ -408,6 +408,20 @@ def test_ann_topk_ivf_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_embedding_kmeans_matches_serial_mirror(ray_session):
+    """embedding_kmeans' integer-arithmetic Lloyd loop is bit-exact vs the
+    serial mirror regardless of batching (the distributed partial sums are
+    int64, hence order independent), and clusters are non-degenerate."""
+    from osm_wikidata_ray.pipelines.training_data import embedding_kmeans
+    from osm_wikidata_ray.sources.td_oracle import embedding_kmeans_expected
+
+    got = embedding_kmeans(SF).to_pandas().reset_index(drop=True)
+    want = embedding_kmeans_expected(SF)
+    assert got.equals(want)
+    assert got["cluster"].nunique() >= 2
+    assert (got["dist"] >= 0).all()
+
+
 def test_token_counts_bpe(ray_session):
     """BPE-ish token totals match an in-process regex count."""
     import re
