@@ -3179,34 +3179,16 @@ def _km_assign(q: np.ndarray, cq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return assign, d2[np.arange(n), assign]
 
 
-def embedding_kmeans(
-    sf_dir: str, k: int = 8, iters: int = 4
-) -> "ray.data.Dataset":
-    """Lloyd's k-means over the embeddings table — the embedding-clustering
-    primitive of dataset curation (SemDeDup-style cluster-then-prune, IVF
-    list building, coreset selection).  Fully deterministic and
-    partition-order independent:
-
-    - init: the vectors of the k lowest vec_ids, found with a per-batch
-      partial min-k combiner (k rows per batch to the driver — no sort,
-      no full-table read);
-    - each iteration broadcasts the (k, d) int64 centroid matrix via
-      ray.put; ONE corpus pass assigns argmin squared-L2 in int64
-      (_km_assign) and emits per-cluster partial sums of the quantized
-      vectors + counts (k rows per batch — integer addition makes the
-      centroid trajectory bit-exact however Ray batches the corpus);
-      the driver reduces the tiny partials and floor-divides to the next
-      centroids (empty cluster keeps its previous centroid);
-    - final pass emits (vec_id, cluster, dist) with dist = sqrt(d2)/2^20
-      rounded to 6 dp.
-
-    Mirrored serially by td_oracle.embedding_kmeans_expected (identical
-    integer algorithm)."""
+def _kmeans_centroids(
+    ds: "ray.data.Dataset", k: int, iters: int
+) -> np.ndarray:
+    """Final (k, d) int64-quantized centroids of the Lloyd loop (shared by
+    embedding_kmeans and semdedup): init from the k lowest vec_ids via a
+    per-batch partial min-k combiner, then per iteration one corpus pass
+    emitting k integer partial-sum rows per batch, driver reduce, floor-div
+    update (empty clusters keep their centroid)."""
     from ..util import list_column_to_matrix
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-
-    # init: global k lowest vec_ids via per-batch partial min-k
     def min_k(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         take = np.argsort(ids, kind="stable")[:k]
@@ -3233,11 +3215,7 @@ def embedding_kmeans(
                 cqm = ray.get(cq_ref)
                 _enrich_cache.clear()
                 _enrich_cache[cq_ref.hex()] = cqm
-            q = _km_quantize(
-                list_column_to_matrix(batch.column("embedding")).astype(
-                    np.float64
-                )
-            )
+            q = _km_quantize(list_column_to_matrix(batch.column("embedding")))
             assign, _ = _km_assign(q, cqm)
             sums = np.zeros((len(cqm), q.shape[1]), dtype=np.int64)
             np.add.at(sums, assign, q)
@@ -3259,6 +3237,34 @@ def embedding_kmeans(
         cq = np.where(
             nonempty[:, None], sums // np.maximum(counts, 1)[:, None], cq
         )
+    return cq
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = 8, iters: int = 4
+) -> "ray.data.Dataset":
+    """Lloyd's k-means over the embeddings table — the embedding-clustering
+    primitive of dataset curation (SemDeDup-style cluster-then-prune, IVF
+    list building, coreset selection).  Fully deterministic and
+    partition-order independent:
+
+    - init: the vectors of the k lowest vec_ids, found with a per-batch
+      partial min-k combiner (k rows per batch to the driver — no sort,
+      no full-table read);
+    - each iteration broadcasts the (k, d) int64 centroid matrix via
+      ray.put; ONE corpus pass assigns argmin squared-L2 in int64
+      (_km_assign) and emits per-cluster partial sums of the quantized
+      vectors + counts (k rows per batch — integer addition makes the
+      centroid trajectory bit-exact however Ray batches the corpus);
+      the driver reduces the tiny partials and floor-divides to the next
+      centroids (empty cluster keeps its previous centroid);
+    - final pass emits (vec_id, cluster, dist) with dist = sqrt(d2)/2^20
+      rounded to 6 dp.
+
+    Mirrored serially by td_oracle.embedding_kmeans_expected (identical
+    integer algorithm)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cq = _kmeans_centroids(ds, k, iters)
 
     out_schema = pa.schema(
         [("vec_id", pa.int64()), ("cluster", pa.int64()),
