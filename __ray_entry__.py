@@ -650,6 +650,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": lambda sf: td.embedding_kmeans(sf).sort(
             ["vec_id"]
         ),
+        # published cluster-then-prune embedding dedup (SemDeDup): integer
+        # k-means + in-cluster float64 cosine prune, bit-exact vs the
+        # serial mirror (same ops over vec_id-sorted rows)
+        "semdedup": lambda sf: td.semdedup(sf).sort(["vec_id"]),
         # --- relational operator proofs (exact DuckDB oracles) ---
         "stratified_sample": lambda sf: td.stratified_sample(sf).sort(
             ["doc_id"]
@@ -767,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash", "dedup_simhash", "dedup_minhash_clusters",
             "dedup_simhash_clusters", "dedup_embedding_cosine",
             "ann_topk_ivf", "doc_fingerprint", "embedding_kmeans",
+            "semdedup",
         )
     }
     return {
@@ -803,6 +808,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": f"""
             SELECT vec_id, cluster, dist
             FROM read_parquet('{td_dumps["embedding_kmeans"]}')
+            ORDER BY vec_id
+        """,
+        "semdedup": f"""
+            SELECT vec_id, cluster, rep, keep
+            FROM read_parquet('{td_dumps["semdedup"]}')
             ORDER BY vec_id
         """,
         # flagship scored-pair views vs the single-process serial oracle

@@ -3293,6 +3293,84 @@ def embedding_kmeans(
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def semdedup(
+    sf_dir: str, k: int = 8, iters: int = 4, threshold: float = 0.45
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings with k-means, then prune semantic near-duplicates WITHIN
+    each cluster — the published cluster-then-prune recipe that turns the
+    O(n²) all-pairs cosine join into k independent O((n/k)²) in-cluster
+    jobs.  The scale knob is k: pick k ∝ n/target_cluster so each cluster's
+    matmul is bounded; cross-cluster near-dups are missed by contract
+    (`dedup_embedding_exact` is the exact baseline).
+
+    Shape: the Lloyd loop is the shared integer-exact `_kmeans_centroids`
+    (bit-exact centroids whatever the batching); ONE assignment pass
+    fans rows to their cluster; `groupby(cluster).map_groups` runs the
+    in-cluster prune — rows sorted by vec_id, one float64 normalized
+    matmul, pairs with cos ≥ threshold union-found locally (no edge ever
+    leaves the bucket — components cannot span clusters by construction),
+    representative = min vec_id per component.  Emits one row per vector:
+    (vec_id, cluster, rep, keep) with keep = (vec_id == rep).
+
+    Determinism: cluster labels are integer-exact; the in-cluster cosine
+    matrix is computed over vec_id-sorted rows, so the serial mirror
+    (td_oracle.semdedup_expected) performs the identical float64 ops on
+    identically-ordered arrays — bit-equal comparisons, no rounding gap."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cq = _kmeans_centroids(ds, k, iters)
+    cq_ref = ray.put(cq)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cqm = _enrich_cache.get(cq_ref.hex())
+        if cqm is None:
+            cqm = ray.get(cq_ref)
+            _enrich_cache.clear()
+            _enrich_cache[cq_ref.hex()] = cqm
+        q = _km_quantize(list_column_to_matrix(batch.column("embedding")))
+        a, _ = _km_assign(q, cqm)
+        return pa.table(
+            {"cluster": pa.array(a.astype(np.int64), pa.int64()),
+             "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+             "embedding": batch.column("embedding")}
+        )
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack(g["embedding"].to_list()).astype(np.float64)
+        vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+        sims = vn @ vn.T
+        n = len(ids)
+        # local union-find over in-cluster indices (clusters are the
+        # partition key, so components are complete inside the bucket)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        for x, y in zip(ai.tolist(), bi.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        roots = np.array([find(i) for i in range(n)])
+        rep = ids[roots]  # ids ascending ⇒ min index = min vec_id
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": g["cluster"].to_numpy(np.int64),
+             "rep": rep, "keep": ids == rep}
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster", num_partitions=8)
+        .map_groups(prune, batch_format="pandas")
+    )
+
+
 # --- test-set contamination ---
 
 CONTAM_BROADCAST_BYTES_CAP = 64 << 20  # heldout window-text broadcast cap

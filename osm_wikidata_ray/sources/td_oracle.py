@@ -519,3 +519,57 @@ def embedding_kmeans_expected(
     return pd.DataFrame(
         {"vec_id": vec_ids, "cluster": a.astype(np.int64), "dist": dist}
     ).sort_values("vec_id").reset_index(drop=True)
+
+
+def semdedup_expected(
+    sf_dir: str, k: int = 8, iters: int = 4, threshold: float = 0.45
+) -> pd.DataFrame:
+    """Serial mirror of pipelines.training_data.semdedup: reuse the
+    integer-exact k-means assignment, then per cluster (rows already
+    vec_id-sorted) the identical float64 normalize + matmul + union-find
+    prune.  Same arrays in the same order ⇒ bit-equal cosine comparisons
+    with the engine's in-bucket computation."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(vec_ids, kind="stable")
+    vec_ids, vecs = vec_ids[order], vecs[order]
+    km = embedding_kmeans_expected(sf_dir, k=k, iters=iters)
+    assign = km["cluster"].to_numpy()  # km is vec_id-sorted, same order
+
+    out = []
+    for c in range(k):
+        idx = np.flatnonzero(assign == c)
+        if idx.size == 0:
+            continue
+        ids = vec_ids[idx]
+        sub = vecs[idx]
+        vn = sub / (np.linalg.norm(sub, axis=1, keepdims=True) + 1e-30)
+        sims = vn @ vn.T
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        for x, y in zip(ai.tolist(), bi.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        roots = np.array([find(i) for i in range(n)])
+        rep = ids[roots]
+        out.append(pd.DataFrame(
+            {"vec_id": ids, "cluster": np.full(n, c, dtype=np.int64),
+             "rep": rep, "keep": ids == rep}
+        ))
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )

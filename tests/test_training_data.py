@@ -422,6 +422,27 @@ def test_embedding_kmeans_matches_serial_mirror(ray_session):
     assert (got["dist"] >= 0).all()
 
 
+def test_semdedup_matches_serial_mirror(ray_session):
+    """semdedup (cluster-then-prune embedding dedup) is bit-exact vs the
+    serial mirror: integer-exact cluster labels plus identical float64
+    cosine comparisons over vec_id-sorted in-cluster rows.  Sanity: some
+    rows prune (the fixture plants near-dup pairs), every rep is kept,
+    and reps never exceed their members' vec_ids."""
+    from osm_wikidata_ray.pipelines.training_data import semdedup
+    from osm_wikidata_ray.sources.td_oracle import semdedup_expected
+
+    got = (
+        semdedup(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    want = semdedup_expected(SF)
+    assert got.equals(want)
+    pruned = got.loc[~got["keep"]]
+    assert len(pruned) > 0
+    kept_ids = set(got.loc[got["keep"], "vec_id"])
+    assert set(pruned["rep"]) <= kept_ids
+    assert (got["rep"] <= got["vec_id"]).all()
+
+
 def test_token_counts_bpe(ray_session):
     """BPE-ish token totals match an in-process regex count."""
     import re
