@@ -3293,6 +3293,41 @@ def embedding_kmeans(
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+# row-slab width for semdedup's in-cluster cosine pass: peak memory per
+# group is slab × |cluster| float64 (≈0.5 GB at a 32k-row cluster) instead
+# of the |cluster|² dense matrix (8 GB there).  The SHARED kernel is the
+# bit-exactness contract: engine and serial mirror call the same function,
+# so the BLAS sees identical shapes in identical row order and every
+# threshold comparison is made on an identical float64 dot product.
+_SEMDEDUP_SLAB = 2048
+
+
+def _semdedup_prune_roots(vn: np.ndarray, threshold: float) -> np.ndarray:
+    """Root index per row of one cluster's normalized, vec_id-sorted
+    matrix: connect pairs with cos ≥ threshold (slab-wise upper-triangle
+    matmul), union-find locally, return each row's component root index
+    (rows ascend by vec_id, so the root IS the min-vec_id member)."""
+    n = len(vn)
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s in range(0, n, _SEMDEDUP_SLAB):
+        e = min(s + _SEMDEDUP_SLAB, n)
+        sims = vn[s:e] @ vn[s:].T  # cols from s: upper triangle only
+        ai, bi = np.nonzero(sims >= threshold)
+        keep = bi > ai  # strict upper triangle in global index space
+        for x, y in zip((ai + s)[keep].tolist(), (bi + s)[keep].tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+    return np.array([find(i) for i in range(n)], dtype=np.int64)
+
+
 def semdedup(
     sf_dir: str, k: int = 8, iters: int = 4, threshold: float = 0.45
 ) -> "ray.data.Dataset":
@@ -3340,25 +3375,7 @@ def semdedup(
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         vecs = np.stack(g["embedding"].to_list()).astype(np.float64)
         vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
-        sims = vn @ vn.T
-        n = len(ids)
-        # local union-find over in-cluster indices (clusters are the
-        # partition key, so components are complete inside the bucket)
-        parent = np.arange(n)
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        for x, y in zip(ai.tolist(), bi.tolist()):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
-        roots = np.array([find(i) for i in range(n)])
-        rep = ids[roots]  # ids ascending ⇒ min index = min vec_id
+        rep = ids[_semdedup_prune_roots(vn, threshold)]
         return pd.DataFrame(
             {"vec_id": ids, "cluster": g["cluster"].to_numpy(np.int64),
              "rep": rep, "keep": ids == rep}

@@ -539,6 +539,12 @@ def semdedup_expected(
     km = embedding_kmeans_expected(sf_dir, k=k, iters=iters)
     assign = km["cluster"].to_numpy()  # km is vec_id-sorted, same order
 
+    # the slab-wise prune kernel is SHARED with the engine on purpose:
+    # identical shapes through the BLAS ⇒ identical float64 dot products
+    # ⇒ identical threshold decisions (a reimplementation with a different
+    # matmul blocking could flip a borderline pair)
+    from ..pipelines.training_data import _semdedup_prune_roots
+
     out = []
     for c in range(k):
         idx = np.flatnonzero(assign == c)
@@ -547,25 +553,9 @@ def semdedup_expected(
         ids = vec_ids[idx]
         sub = vecs[idx]
         vn = sub / (np.linalg.norm(sub, axis=1, keepdims=True) + 1e-30)
-        sims = vn @ vn.T
-        n = len(ids)
-        parent = np.arange(n)
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        for x, y in zip(ai.tolist(), bi.tolist()):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
-        roots = np.array([find(i) for i in range(n)])
-        rep = ids[roots]
+        rep = ids[_semdedup_prune_roots(vn, threshold)]
         out.append(pd.DataFrame(
-            {"vec_id": ids, "cluster": np.full(n, c, dtype=np.int64),
+            {"vec_id": ids, "cluster": np.full(len(ids), c, dtype=np.int64),
              "rep": rep, "keep": ids == rep}
         ))
     return (
