@@ -3383,7 +3383,7 @@ def semdedup(
 
     return (
         ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster", num_partitions=8)
+        .groupby("cluster", num_partitions=min(k, default_partitions()))
         .map_groups(prune, batch_format="pandas")
     )
 
