@@ -581,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops over documents/embeddings ---
         "doc_stats": lambda sf: td.doc_stats(sf).sort(["doc_id"]),
         "token_counts": lambda sf: td.token_counts(sf).sort(["source"]),
+        # exact heavy hitters via the two-pass pigeonhole sketch (shuffle
+        # bounded by candidates, not vocabulary; size-guarded fallback)
+        "heavy_hitters": lambda sf: td.heavy_hitters(sf).sort(["token"]),
         "token_counts_bpe": lambda sf: td.token_counts_bpe(sf).sort(["source"]),
         "quality": lambda sf: td.quality_score(sf).sort(["doc_id"]),
         "lang_id": lambda sf: td.lang_id(sf).sort(["doc_id"]),
@@ -967,6 +970,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    sum(array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')))::BIGINT AS "sum(n_tokens)"
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # keep phi_denom (50) in sync with training_data.heavy_hitters
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                         '\\s+')) AS token
+              FROM documents
+            ), tot AS (SELECT count(*) AS n FROM toks)
+            SELECT token, count(*)::BIGINT AS cnt
+            FROM toks GROUP BY token
+            HAVING count(*) * 50 >= (SELECT n FROM tot)
+            ORDER BY token
         """,
         "token_counts_bpe": f"""
             SELECT source,

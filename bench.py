@@ -123,7 +123,7 @@ TRAINING_BENCHES = [
     "q_shipping_priority", "q_asof_join", "q_group_topk",
     "q_length_quantiles", "q_group_quantiles", "embedding_centroids",
     "embedding_kmeans", "semdedup",
-    "lm_score", "token_counts_bpe",
+    "lm_score", "token_counts_bpe", "heavy_hitters",
     "audio_features", "video_frames", "media_features_mixed",
 ]
 

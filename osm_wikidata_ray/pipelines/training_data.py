@@ -245,6 +245,134 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> "ray.data.Dataset":
     return totals.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
 
 
+#: driver cap on the pass-1 candidate-token count; past it the op falls
+#: back to the exact full-vocabulary groupby (token_counts-shaped), both
+#: branches parity-tested
+HH_CANDIDATE_CAP = 1_000_000
+
+
+def heavy_hitters(sf_dir: str, phi_denom: int = 50) -> "ray.data.Dataset":
+    """EXACT corpus heavy hitters — every token with global frequency
+    ≥ 1/phi_denom of all tokens — via the two-pass sketch that keeps the
+    shuffle bounded by CANDIDATES instead of vocabulary (the scale path
+    top_ngrams' docstring promises for vocabularies that outgrow the
+    cluster):
+
+    - pass 1 (one map, no shuffle): per-batch vectorized value_counts;
+      a batch emits only its LOCALLY φ-heavy tokens (≤ phi_denom rows by
+      construction) plus one null-token row carrying the batch token
+      total.  Pigeonhole guarantees the union is a SUPERSET of the true
+      heavy hitters: a token below φ in every batch is below φ globally.
+    - the candidate union and the corpus token total are driver-side but
+      tiny and SIZE-GUARDED (HH_CANDIDATE_CAP): past the cap the op runs
+      the exact full-vocabulary groupby instead (correct either way —
+      the sketch is a bandwidth optimisation, not an approximation).
+    - pass 2: broadcast the candidate array (ray.put once, per-process
+      cache), count ONLY candidate tokens per batch, groupby-sum the
+      ≤ candidates × batches partials, integer-filter
+      cnt · phi_denom ≥ total.
+
+    All-integer thresholding ⇒ bit-exact vs the DuckDB HAVING oracle."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _flat_tokens(batch: pa.Table) -> pa.Array:
+        toks = pc.split_pattern_regex(_ws_trim(batch.column("text")), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return toks.values
+
+    pass1_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def local_heavy(batch: pa.Table) -> pa.Table:
+        flat = _flat_tokens(batch)
+        vc = pc.value_counts(flat)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        n_b = int(counts.sum())
+        heavy = vc.field("values").take(
+            pa.array(np.flatnonzero(counts * phi_denom >= n_b))
+        )
+        return pa.table(
+            {"token": pa.concat_arrays(
+                 [heavy.combine_chunks() if isinstance(heavy, pa.ChunkedArray)
+                  else heavy, pa.array([None], pa.string())]),
+             "n": pa.array([0] * len(heavy) + [n_b], pa.int64())},
+            schema=pass1_schema,
+        )
+
+    pass1 = ds.map_batches(local_heavy, batch_format="pyarrow").materialize()
+
+    def only_totals(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch.column("token")))
+
+    def only_cands(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("token"))).select(
+            ["token"]
+        )
+
+    total = int(
+        pass1.map_batches(only_totals, batch_format="pyarrow").sum(
+            "n", ignore_nulls=True
+        ) or 0
+    )
+    cand_ds = pass1.map_batches(only_cands, batch_format="pyarrow")
+    n_cand = cand_ds.count()
+
+    if n_cand > HH_CANDIDATE_CAP:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "heavy_hitters: %d pass-1 candidates exceed the driver cap %d; "
+            "running the exact full-vocabulary groupby instead",
+            n_cand, HH_CANDIDATE_CAP,
+        )
+
+        def all_counts(batch: pa.Table) -> pa.Table:
+            vc = pc.value_counts(_flat_tokens(batch))
+            return pa.table(
+                {"token": vc.field("values"),
+                 "cnt": pc.cast(vc.field("counts"), pa.int64())}
+            )
+
+        partials = ds.map_batches(all_counts, batch_format="pyarrow")
+    else:
+        cand = pa.array(
+            sorted(set(cand_ds.to_pandas()["token"])), pa.string()
+        )
+        cand_ref = ray.put(cand)
+
+        def cand_counts(batch: pa.Table) -> pa.Table:
+            cs = _enrich_cache.get(cand_ref.hex())
+            if cs is None:
+                cs = ray.get(cand_ref)
+                _enrich_cache.clear()
+                _enrich_cache[cand_ref.hex()] = cs
+            flat = _flat_tokens(batch)
+            hits = flat.filter(pc.is_in(flat, value_set=cs))
+            vc = pc.value_counts(hits)
+            return pa.table(
+                {"token": vc.field("values"),
+                 "cnt": pc.cast(vc.field("counts"), pa.int64())}
+            )
+
+        partials = ds.map_batches(cand_counts, batch_format="pyarrow")
+
+    # materialize before the all-to-all (repo invariant: fused map→shuffle
+    # chains schedule pathologically in Ray 2.49 — measured 34 s fused vs
+    # 12 s staged on the 25M-token stress)
+    totals = partials.materialize().groupby(
+        "token", num_partitions=default_partitions()
+    ).sum("cnt", ignore_nulls=True).rename_columns({"sum(cnt)": "cnt"})
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply(batch.column("cnt"), pa.scalar(phi_denom, pa.int64())),
+            pa.scalar(total, pa.int64()),
+        )
+        return batch.filter(keep)
+
+    return totals.map_batches(final_filter, batch_format="pyarrow")
+
+
 def quality_score(sf_dir: str) -> "ray.data.Dataset":
     """Heuristic quality components (ints for oracle-exact comparison):
     length, punctuation, case, digits, token count and stopword count —

@@ -422,6 +422,41 @@ def test_embedding_kmeans_matches_serial_mirror(ray_session):
     assert (got["dist"] >= 0).all()
 
 
+def test_heavy_hitters_both_branches(ray_session, monkeypatch):
+    """heavy_hitters' sketch path (pigeonhole candidates + broadcast) and
+    its cap-tripped full-vocabulary fallback return the identical exact
+    answer, matching an in-process token count."""
+    import duckdb
+
+    from osm_wikidata_ray.pipelines import training_data as td
+
+    sketch = (
+        td.heavy_hitters(SF).to_pandas().sort_values("token")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(td, "HH_CANDIDATE_CAP", -1)  # force fallback
+    fallback = (
+        td.heavy_hitters(SF).to_pandas().sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert sketch.equals(fallback)
+    want = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                     '\\s+')) AS token
+          FROM read_parquet('{SF}/documents.parquet')
+        ), tot AS (SELECT count(*) AS n FROM toks)
+        SELECT token, count(*)::BIGINT AS cnt
+        FROM toks GROUP BY token
+        HAVING count(*) * 50 >= (SELECT n FROM tot)
+        ORDER BY token
+    """).df()
+    assert len(sketch) > 0
+    assert sketch["token"].tolist() == want["token"].tolist()
+    assert sketch["cnt"].tolist() == want["cnt"].tolist()
+
+
 def test_semdedup_matches_serial_mirror(ray_session):
     """semdedup (cluster-then-prune embedding dedup) is bit-exact vs the
     serial mirror: integer-exact cluster labels plus identical float64
