@@ -657,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-means + in-cluster float64 cosine prune, bit-exact vs the
         # serial mirror (same ops over vec_id-sorted rows)
         "semdedup": lambda sf: td.semdedup(sf).sort(["vec_id"]),
+        # prototypicality pruning: m most-central vectors per k-means
+        # cluster; oracle = row_number() window over the kmeans dump
+        "coreset_select": lambda sf: td.coreset_select(sf).sort(["vec_id"]),
         # --- relational operator proofs (exact DuckDB oracles) ---
         "stratified_sample": lambda sf: td.stratified_sample(sf).sort(
             ["doc_id"]
@@ -817,6 +820,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cluster, rep, keep
             FROM read_parquet('{td_dumps["semdedup"]}')
             ORDER BY vec_id
+        """,
+        # keep m (16) in sync with training_data.coreset_select
+        "coreset_select": f"""
+            SELECT vec_id, cluster, dist FROM (
+              SELECT vec_id, cluster, dist,
+                     row_number() OVER (
+                         PARTITION BY cluster ORDER BY dist, vec_id
+                     ) AS rn
+              FROM read_parquet('{td_dumps["embedding_kmeans"]}')
+            ) WHERE rn <= 16 ORDER BY vec_id
         """,
         # flagship scored-pair views vs the single-process serial oracle
         # (sources/oracle.py) — same rule library, independent orchestration

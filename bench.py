@@ -122,7 +122,7 @@ TRAINING_BENCHES = [
     "q_events_by_type",
     "q_shipping_priority", "q_asof_join", "q_group_topk",
     "q_length_quantiles", "q_group_quantiles", "embedding_centroids",
-    "embedding_kmeans", "semdedup",
+    "embedding_kmeans", "semdedup", "coreset_select",
     "lm_score", "token_counts_bpe", "heavy_hitters",
     "audio_features", "video_frames", "media_features_mixed",
 ]

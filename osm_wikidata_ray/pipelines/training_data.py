@@ -3456,6 +3456,47 @@ def _semdedup_prune_roots(vn: np.ndarray, threshold: float) -> np.ndarray:
     return np.array([find(i) for i in range(n)], dtype=np.int64)
 
 
+def coreset_select(
+    sf_dir: str, k: int = 8, iters: int = 4, m: int = 16
+) -> "ray.data.Dataset":
+    """Prototypicality pruning (the SSL-Prototypes recipe of Sorscher et
+    al. 2022, arXiv:2206.14486): keep the m most CENTRAL vectors of each
+    k-means cluster — the coreset-selection companion to semdedup's
+    near-dup pruning.  Pure composition of bit-exact parts: cluster +
+    distance labels come from embedding_kmeans's integer Lloyd loop; the
+    per-cluster `row_number() ≤ m` is the group-top-k pattern with a
+    per-batch partial combiner, so the exchange carries ≤ m × k rows per
+    block, never the corpus.  Order (dist asc, vec_id asc) is
+    deterministic: dist is the rounded image of an exact int64 distance,
+    ties break on vec_id on both the Ray and SQL side."""
+    labeled = embedding_kmeans(sf_dir, k=k, iters=iters)
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()),
+         ("dist", pa.float64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        part = (
+            df.sort_values(
+                ["cluster", "dist", "vec_id"], kind="stable"
+            )
+            .groupby("cluster", sort=False)
+            .head(m)
+        )
+        return table_from_pandas(part, schema)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist", "vec_id"], kind="stable").head(m)
+        return g[["vec_id", "cluster", "dist"]]
+
+    return (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster", num_partitions=min(k, default_partitions()))
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def semdedup(
     sf_dir: str, k: int = 8, iters: int = 4, threshold: float = 0.45
 ) -> "ray.data.Dataset":

@@ -478,6 +478,28 @@ def test_semdedup_matches_serial_mirror(ray_session):
     assert (got["rep"] <= got["vec_id"]).all()
 
 
+def test_coreset_select(ray_session):
+    """coreset_select keeps exactly the m most-central vectors per
+    cluster of the bit-exact kmeans labeling (dist asc, vec_id tie)."""
+    from osm_wikidata_ray.pipelines.training_data import (
+        coreset_select, embedding_kmeans,
+    )
+
+    m = 16
+    got = (
+        coreset_select(SF, m=m).to_pandas().sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    full = embedding_kmeans(SF).to_pandas()
+    want = (
+        full.sort_values(["cluster", "dist", "vec_id"], kind="stable")
+        .groupby("cluster", sort=False).head(m)
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    assert got.equals(want[["vec_id", "cluster", "dist"]])
+    assert (got.groupby("cluster").size() <= m).all()
+
+
 def test_token_counts_bpe(ray_session):
     """BPE-ish token totals match an in-process regex count."""
     import re
