@@ -689,6 +689,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
         ),
+        # bucketed band (range) self-join — int-cents comparisons, the
+        # replication-join scale shape (exchange 4× rows, never pairs)
+        "q_band_join": lambda sf: td.value_band_join(sf).sort(["event_id"]),
     }
 
 
@@ -1493,6 +1496,20 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents)
             WHERE rn <= 3 ORDER BY source, doc_id
+        """,
+        # keep delta (25 cents) and the cents formula in sync with
+        # training_data.value_band_join
+        "q_band_join": """
+            WITH c AS (
+              SELECT event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT a.event_id, count(b.event_id)::BIGINT AS n_close
+            FROM c a LEFT JOIN c b
+              ON b.cents BETWEEN a.cents - 25 AND a.cents + 25
+             AND b.event_id != a.event_id
+            GROUP BY a.event_id ORDER BY a.event_id
         """,
         "q_sessionize": """
             WITH ordered AS (

@@ -120,7 +120,7 @@ TRAINING_BENCHES = [
     "dedup_embedding_cosine", "dedup_embedding_exact",
     "ann_topk", "ann_topk_ivf", "q_pricing_summary", "q_top_customers",
     "q_events_by_type",
-    "q_shipping_priority", "q_asof_join", "q_group_topk",
+    "q_shipping_priority", "q_asof_join", "q_group_topk", "q_band_join",
     "q_length_quantiles", "q_group_quantiles", "embedding_centroids",
     "embedding_kmeans", "semdedup", "coreset_select",
     "lm_score", "token_counts_bpe", "heavy_hitters",

@@ -2953,6 +2953,74 @@ def group_topk(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     )
 
 
+def value_band_join(
+    sf_dir: str, delta_cents: int = 25
+) -> "ray.data.Dataset":
+    """Distributed RANGE (band) self-join — `b.value BETWEEN a.value - δ
+    AND a.value + δ` — the interval-join pattern Ray Data has no native
+    operator for, expressed as the classic bucketed replication join:
+
+    - values quantize to integer cents (the repo's half-away-from-zero
+      formula, mirrored literally in the SQL oracle — all comparisons are
+      int64, no float boundary risk);
+    - each row lands in cell cents // δ ONCE as a probe and is replicated
+      to cells c-1, c, c+1 as a build row — any pair within δ differs by
+      ≤ 1 cell, and each build row appears exactly once per cell, so no
+      pair is double-counted;
+    - one groupby(cell) co-locates each probe with every build row it can
+      match; the in-bucket count is a sorted-array searchsorted (O(w·log
+      w) per bucket, no pairwise materialization), minus 1 for self.
+
+    Exchange volume is 4× the input rows (1 probe + 3 build replicas),
+    independent of match fan-out — a 100 TB band join with hot value
+    ranges never materializes its quadratic pair set.  Emits
+    (event_id, n_close) for EVERY event (0 when nothing is in range),
+    matching the LEFT JOIN oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    d = delta_cents
+
+    out_schema = pa.schema(
+        [("cell", pa.int64()), ("cents", pa.int64()),
+         ("event_id", pa.int64()), ("is_probe", pa.bool_())]
+    )
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cell = cents // d
+        cells = np.concatenate([cell, cell - 1, cell, cell + 1])
+        reps = np.tile(np.arange(len(ids)), 4)
+        probe = np.zeros(len(cells), dtype=bool)
+        probe[: len(ids)] = True
+        return pa.table(
+            {"cell": pa.array(cells, pa.int64()),
+             "cents": pa.array(cents[reps], pa.int64()),
+             "event_id": pa.array(ids[reps].astype(np.int64), pa.int64()),
+             "is_probe": pa.array(probe)},
+            schema=out_schema,
+        )
+
+    def count_band(group: pd.DataFrame) -> pd.DataFrame:
+        probes = group.loc[group["is_probe"]]
+        build = np.sort(group.loc[~group["is_probe"], "cents"].to_numpy())
+        pc_ = probes["cents"].to_numpy()
+        lo = np.searchsorted(build, pc_ - d, side="left")
+        hi = np.searchsorted(build, pc_ + d, side="right")
+        # self always sits in its own cell's build replicas at distance 0
+        n = hi - lo - 1
+        return pd.DataFrame(
+            {"event_id": probes["event_id"].to_numpy(np.int64),
+             "n_close": n.astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("cell", num_partitions=default_partitions())
+        .map_groups(count_band, batch_format="pandas")
+    )
+
+
 def doc_length_quantiles(
     sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
 ) -> pd.DataFrame:

@@ -478,6 +478,35 @@ def test_semdedup_matches_serial_mirror(ray_session):
     assert (got["rep"] <= got["vec_id"]).all()
 
 
+def test_value_band_join(ray_session):
+    """Bucketed band self-join matches the DuckDB range join exactly,
+    including zero-match rows (LEFT JOIN semantics) and no pair double
+    counted across the 3-cell replication."""
+    import duckdb
+
+    from osm_wikidata_ray.pipelines.training_data import value_band_join
+
+    got = (
+        value_band_join(SF).to_pandas().sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        WITH c AS (
+          SELECT event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM read_parquet('{SF}/events.parquet')
+        )
+        SELECT a.event_id, count(b.event_id)::BIGINT AS n_close
+        FROM c a LEFT JOIN c b
+          ON b.cents BETWEEN a.cents - 25 AND a.cents + 25
+         AND b.event_id != a.event_id
+        GROUP BY a.event_id ORDER BY a.event_id
+    """).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["n_close"].tolist() == want["n_close"].tolist()
+    assert (got["n_close"] == 0).any()  # the LEFT-JOIN edge is exercised
+
+
 def test_coreset_select(ray_session):
     """coreset_select keeps exactly the m most-central vectors per
     cluster of the bit-exact kmeans labeling (dist asc, vec_id tie)."""
