@@ -648,6 +648,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": lambda sf: td.ann_topk_ivf(sf)
         .select_columns(["query_id", "vec_id"])
         .sort(["query_id", "vec_id"]),
+        # all-pairs neighbor graph: exact block-nested self-join (membership
+        # compared — cos is float32 in DuckDB's list_cosine_similarity and
+        # float64 here, same contract as ann_topk)
+        "knn_graph": lambda sf: td.knn_graph(sf)
+        .select_columns(["vec_id", "neighbor_id"])
+        .sort(["vec_id", "neighbor_id"]),
+        # IVF co-partitioned scale path (approximate by contract; recall vs
+        # knn_graph pinned in pytest, driver oracle = serial mirror dump)
+        "knn_graph_ivf": lambda sf: td.knn_graph_ivf(sf)
+        .select_columns(["vec_id", "neighbor_id"])
+        .sort(["vec_id", "neighbor_id"]),
         # Lloyd's k-means in integer arithmetic — bit-exact vs the serial
         # mirror regardless of batching/partition order
         "embedding_kmeans": lambda sf: td.embedding_kmeans(sf).sort(
@@ -779,8 +790,8 @@ def oracle_sql() -> dict[str, str]:
         for name in (
             "dedup_minhash", "dedup_simhash", "dedup_minhash_clusters",
             "dedup_simhash_clusters", "dedup_embedding_cosine",
-            "ann_topk_ivf", "doc_fingerprint", "embedding_kmeans",
-            "semdedup",
+            "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
+            "embedding_kmeans", "semdedup",
         )
     }
     return {
@@ -813,6 +824,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id
             FROM read_parquet('{td_dumps["ann_topk_ivf"]}')
             ORDER BY query_id, vec_id
+        """,
+        "knn_graph_ivf": f"""
+            SELECT vec_id, neighbor_id
+            FROM read_parquet('{td_dumps["knn_graph_ivf"]}')
+            ORDER BY vec_id, neighbor_id
         """,
         "embedding_kmeans": f"""
             SELECT vec_id, cluster, dist
@@ -1390,6 +1406,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id FROM scored WHERE rn <= 10
             ORDER BY query_id, vec_id
+        """,
+        "knn_graph": """
+            WITH scored AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                    b.vec_id
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            )
+            SELECT vec_id, neighbor_id FROM scored WHERE rn <= 5
+            ORDER BY vec_id, neighbor_id
         """,
         "video_frames": f"""
             SELECT media_id, frame_no, pixel_sum

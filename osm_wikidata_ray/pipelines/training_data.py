@@ -1983,46 +1983,9 @@ def ann_topk_ivf(
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     head = next(pf.iter_batches(batch_size=max(n_lists, n_queries)))
     head_t = pa.Table.from_batches([head])
-    seeds = (
-        np.stack(head_t.column("embedding").to_pylist()[:n_lists])
-        .astype(np.float64)
-    )
-    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True) + 1e-30
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    # one distributed Lloyd step: per-batch partial sums per centroid →
-    # tiny driver reduce (centroid count is fixed and small)
-    seeds_ref = ray.put(seeds)
-
-    def partial_sums(batch: pa.Table) -> pa.Table:
-        c = ray.get(seeds_ref)
-        vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
-        vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
-        assign = np.argmax(vn @ c.T, axis=1)
-        sums = np.zeros_like(c)
-        np.add.at(sums, assign, vn)
-        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
-        return pa.table(
-            {"list_id": pa.array(np.arange(len(c)), pa.int64()),
-             "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
-             "n": pa.array(counts, pa.int64())}
-        )
-
-    parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
-    sums = np.zeros_like(seeds)
-    counts = np.zeros(n_lists, dtype=np.int64)
-    for r in parts.itertuples():
-        sums[r.list_id] += np.asarray(r.vsum)
-        counts[r.list_id] += r.n
-    refined = np.where(
-        counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], seeds
-    )
-    # rounding the mean kills batch-order float-summation noise (~1e-14)
-    # so the refined centroids are bit-identical to a serial single-pass
-    # accumulation — what lets the driver oracle reproduce this exactly
-    refined = np.round(refined, 6)
-    refined /= np.linalg.norm(refined, axis=1, keepdims=True) + 1e-30
+    refined = _ivf_refined_centroids(ds, sf_dir, n_lists)
 
     q_ids = head_t.column("vec_id").to_pylist()[:n_queries]
     q = np.stack(head_t.column("embedding").to_pylist()[:n_queries]).astype(
@@ -2083,6 +2046,31 @@ def ann_topk_ivf(
     )
 
 
+def _chunk_pair_fanout(batch: pa.Table, n_chunks: int) -> pa.Table:
+    """Fan-out half of the distributed block-nested self-join shared by
+    dedup_embedding_exact and knn_graph: each vector (chunk = vec_id %
+    n_chunks) replicates into every unordered chunk pair containing its
+    chunk, so one groupby group == one chunk pair == one float64 matmul."""
+    m = len(batch)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    cid = (ids % n_chunks).astype(np.int64)
+    reps = np.repeat(np.arange(m), n_chunks)
+    other = np.tile(np.arange(n_chunks), m)
+    own = cid[reps]
+    lo = np.minimum(own, other)
+    hi = np.maximum(own, other)
+    pair_key = lo * n_chunks + hi
+    rep = batch.select(["vec_id", "embedding"]).take(pa.array(reps))
+    return pa.table(
+        {
+            "pair_key": pa.array(pair_key, pa.int64()),
+            "cid": pa.array(own, pa.int64()),
+            "vec_id": rep.column("vec_id"),
+            "embedding": rep.column("embedding"),
+        }
+    )
+
+
 def dedup_embedding_exact(
     sf_dir: str, threshold: float = 0.45, chunk_rows: int = 1024
 ) -> "ray.data.Dataset":
@@ -2097,27 +2085,6 @@ def dedup_embedding_exact(
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     n = ds.count()  # parquet metadata count
     n_chunks = max(1, math.ceil(n / chunk_rows))
-
-    def fan_out(batch: pa.Table) -> pa.Table:
-        m = len(batch)
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        cid = (ids % n_chunks).astype(np.int64)
-        # each row joins every unordered chunk pair containing its chunk
-        reps = np.repeat(np.arange(m), n_chunks)
-        other = np.tile(np.arange(n_chunks), m)
-        own = cid[reps]
-        lo = np.minimum(own, other)
-        hi = np.maximum(own, other)
-        pair_key = lo * n_chunks + hi
-        rep = batch.select(["vec_id", "embedding"]).take(pa.array(reps))
-        return pa.table(
-            {
-                "pair_key": pa.array(pair_key, pa.int64()),
-                "cid": pa.array(own, pa.int64()),
-                "vec_id": rep.column("vec_id"),
-                "embedding": rep.column("embedding"),
-            }
-        )
 
     def chunk_pair(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -2153,10 +2120,270 @@ def dedup_embedding_exact(
         )
 
     return (
-        ds.map_batches(fan_out, batch_format="pyarrow")
+        ds.map_batches(
+            lambda b: _chunk_pair_fanout(b, n_chunks), batch_format="pyarrow"
+        )
         .groupby("pair_key", num_partitions=default_partitions())
         .map_groups(chunk_pair, batch_format="pandas")
     )
+
+
+def _per_vec_topk(partials: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
+    """Bucketed per-vector top-k reduce over (vec_id, neighbor_id, cos)
+    partial rows: hash-bucket on vec_id (bucket pattern — one task per
+    bucket, ONE vectorized sort + groupby.head inside, never a frame per
+    key), keep the k best by (cos desc, neighbor_id asc), rank 1..k.
+    Shared final stage of knn_graph and knn_graph_ivf; partials must be
+    unique per (vec_id, neighbor_id) — both producers emit each pair from
+    exactly one group (one chunk pair / the neighbor's single data list)."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["vec_id", "cos", "neighbor_id"], ascending=[True, False, True]
+        )
+        g = g.groupby("vec_id", sort=False).head(k).copy()
+        g["rank"] = (g.groupby("vec_id", sort=False).cumcount() + 1).astype(
+            np.int64
+        )
+        g["cos"] = g["cos"].round(4)
+        return g[["vec_id", "neighbor_id", "cos", "rank"]]
+
+    return (
+        partials.map_batches(
+            lambda b: add_bucket_int(b, "vec_id", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(bucket_topk, batch_format="pandas")
+    )
+
+
+def knn_graph(
+    sf_dir: str, k: int = 5, chunk_rows: int = 2048
+) -> "ray.data.Dataset":
+    """EXACT cosine k-nearest-neighbor GRAPH over the embeddings table —
+    the all-pairs similarity-search deliverable (ann_topk is the fixed
+    query-set form; here the corpus is both sides, so no broadcast fits at
+    scale).  Same distributed block-nested self-join as
+    dedup_embedding_exact (_chunk_pair_fanout: every unordered chunk pair
+    is one group / one float64 matmul), but each group emits only per-row
+    PARTIAL top-k rows — k·n_chunks partials per vector, never the O(n²)
+    similarity matrix — and _per_vec_topk keeps the global best k.
+    O(n²/chunk·d) flops is inherent to exact knn; knn_graph_ivf is the
+    sub-quadratic scale path and this is its pinned-recall baseline.
+    Output: (vec_id, neighbor_id, cos, rank), self excluded, rank by
+    (cos desc, neighbor_id asc).  Beyond-reference training-data op (the
+    reference has no embedding surface)."""
+    import math
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()  # parquet metadata count
+    n_chunks = max(1, math.ceil(n / chunk_rows))
+
+    def chunk_topk(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+        if group.empty:
+            return empty
+        key = int(group["pair_key"].iloc[0])
+        i, j = divmod(key, n_chunks)
+        g = group.drop_duplicates(["cid", "vec_id"])
+        ids = g["vec_id"].to_numpy()
+        vecs = np.stack(g["embedding"].to_list()).astype(np.float64)
+        vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+        out_q: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+
+        def emit(q_ids: np.ndarray, n_ids: np.ndarray, sims: np.ndarray) -> None:
+            top = min(k, sims.shape[1])
+            if top <= 0 or sims.shape[0] == 0:
+                return
+            # per-row partial top-k: argpartition, never a full sort
+            part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            out_q.append(np.repeat(q_ids, top))
+            out_n.append(n_ids[part.ravel()])
+            out_c.append(np.take_along_axis(sims, part, axis=1).ravel())
+
+        if i == j:
+            sims = vn @ vn.T
+            np.fill_diagonal(sims, -2.0)  # self never a neighbor
+            emit(ids, ids, sims)
+        else:
+            ai = g["cid"].to_numpy() == i
+            bi = ~ai
+            sims = vn[ai] @ vn[bi].T
+            emit(ids[ai], ids[bi], sims)  # side i queries side j
+            emit(ids[bi], ids[ai], np.ascontiguousarray(sims.T))
+        if not out_q:
+            return empty
+        out = pd.DataFrame(
+            {"vec_id": np.concatenate(out_q).astype(np.int64),
+             "neighbor_id": np.concatenate(out_n).astype(np.int64),
+             "cos": np.concatenate(out_c)}
+        )
+        # masked self rows (-2) pad into the top slice of a tiny chunk —
+        # drop them so they never reach the final reduce
+        return out[out["cos"] > -2.0]
+
+    partials = (
+        ds.map_batches(
+            lambda b: _chunk_pair_fanout(b, n_chunks), batch_format="pyarrow"
+        )
+        .groupby("pair_key", num_partitions=default_partitions())
+        .map_groups(chunk_topk, batch_format="pandas")
+        .materialize()  # barrier between the two all-to-alls (repo invariant)
+    )
+    return _per_vec_topk(partials, k)
+
+
+def _ivf_refined_centroids(
+    ds: "ray.data.Dataset", sf_dir: str, n_lists: int
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer shared by ann_topk_ivf and
+    knn_graph_ivf: seeds = first n_lists vectors (normalized), ONE
+    distributed Lloyd step (per-batch partial sums per centroid → tiny
+    driver reduce — the centroid count is fixed and small), mean rounded
+    to 1e-6 so batch-order float-summation noise (~1e-14) dies and a
+    serial single-pass accumulation reproduces the centroids bit-exactly
+    (what lets the driver oracle mirror this), re-normalized."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=n_lists))
+    seeds = (
+        np.stack(pa.Table.from_batches([head]).column("embedding").to_pylist())
+        .astype(np.float64)
+    )
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True) + 1e-30
+    seeds_ref = ray.put(seeds)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        c = ray.get(seeds_ref)
+        vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
+        vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+        assign = np.argmax(vn @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, vn)
+        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        return pa.table(
+            {"list_id": pa.array(np.arange(len(c)), pa.int64()),
+             "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    sums = np.zeros_like(seeds)
+    counts = np.zeros(n_lists, dtype=np.int64)
+    for r in parts.itertuples():
+        sums[r.list_id] += np.asarray(r.vsum)
+        counts[r.list_id] += r.n
+    refined = np.where(
+        counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], seeds
+    )
+    refined = np.round(refined, 6)
+    refined /= np.linalg.norm(refined, axis=1, keepdims=True) + 1e-30
+    return refined
+
+
+def knn_graph_ivf(
+    sf_dir: str, k: int = 5, n_lists: int = 32, n_probe: int = 20
+) -> "ray.data.Dataset":
+    """IVF-co-partitioned approximate k-NN graph — the sub-quadratic scale
+    path next to knn_graph's exact block-nested join.  Every vector is
+    DATA in its nearest coarse list and a QUERY in its n_probe nearest
+    lists (stable-argsort ties), so the exchange ships n·n_probe rows
+    (independent of n², vs n·n_chunks for the exact join) and the
+    per-list matmuls sum to ~n²·n_probe/n_lists flops.  A (query,
+    neighbor) pair arises in exactly ONE group — the neighbor's single
+    data list — so _per_vec_topk needs no pair dedup.  Recall vs
+    knn_graph is pinned by tests/test_training_data.py; the driver oracle
+    is the serial mirror sources/td_oracle.knn_graph_ivf_expected.
+    Partitioning assumption: the coarse quantizer balances list sizes
+    (k-means on isotropic data does — BASELINE.md round-5 measured
+    min/max 3.2k/4.6k at k=128); scale n_lists as n/target_list so the
+    per-group matmul stays a bounded slab.  The probe fraction is the
+    recall knob, measured on the sandbox fixture — which is the IVF
+    WORST case (isotropic 64-d: nearest-neighbor margins are tiny, so a
+    neighbor's list is near-random w.r.t. the query's probes; recall@5
+    at n_lists=32: n_probe 8→0.67, 12→0.79, 16→0.88, 20→0.93).
+    Clustered real embedding corpora sit far left of that curve (a
+    planted near-identical copy lands in its source's list and is
+    recalled at any n_probe ≥ 1)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    refined = _ivf_refined_centroids(ds, sf_dir, n_lists)
+    c_ref = ray.put(refined)
+
+    # task stage with the per-process state cache (repo invariant: actor
+    # ramp > the cost of one ray.get per worker)
+    def fan_out(batch: pa.Table) -> pa.Table:
+        c = _enrich_cache.get(c_ref.hex())
+        if c is None:
+            c = ray.get(c_ref)
+            _enrich_cache.clear()
+            _enrich_cache[c_ref.hex()] = c
+        vecs = list_column_to_matrix(batch.column("embedding")).astype(np.float64)
+        vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+        # col 0 = nearest centroid = the row's DATA list; stable sort so
+        # ties break to the lower list id in engine and mirror alike
+        order = np.argsort(-(vn @ c.T), axis=1, kind="stable")[:, :n_probe]
+        m = len(batch)
+        idx = pa.array(np.repeat(np.arange(m), n_probe))
+        rep = batch.select(["vec_id", "embedding"]).take(idx)
+        is_data = np.zeros(m * n_probe, dtype=bool)
+        is_data[:: n_probe] = True
+        return pa.table(
+            {
+                "list_id": pa.array(order.ravel().astype(np.int64), pa.int64()),
+                "is_data": pa.array(is_data),
+                "vec_id": rep.column("vec_id"),
+                "embedding": rep.column("embedding"),
+            }
+        )
+
+    def list_topk(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+        data = group[group["is_data"].to_numpy()]
+        if data.empty:
+            return empty
+        d_ids = data["vec_id"].to_numpy()
+        dvec = np.stack(data["embedding"].to_list()).astype(np.float64)
+        dn = dvec / (np.linalg.norm(dvec, axis=1, keepdims=True) + 1e-30)
+        q_ids = group["vec_id"].to_numpy()
+        qvec = np.stack(group["embedding"].to_list()).astype(np.float64)
+        qn = qvec / (np.linalg.norm(qvec, axis=1, keepdims=True) + 1e-30)
+        sims = qn @ dn.T
+        sims[q_ids[:, None] == d_ids[None, :]] = -2.0  # self never a neighbor
+        top = min(k, sims.shape[1])
+        if top <= 0:
+            return empty
+        part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        out = pd.DataFrame(
+            {"vec_id": np.repeat(q_ids, top).astype(np.int64),
+             "neighbor_id": d_ids[part.ravel()].astype(np.int64),
+             "cos": np.take_along_axis(sims, part, axis=1).ravel()}
+        )
+        # a query's self row scores -2 and can pad into the top slice of a
+        # small list — drop it so it never reaches the final reduce
+        return out[out["cos"] > -2.0]
+
+    partials = (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("list_id", num_partitions=min(n_lists, default_partitions()))
+        .map_groups(list_topk, batch_format="pandas")
+        .materialize()  # barrier between the two all-to-alls (repo invariant)
+    )
+    return _per_vec_topk(partials, k)
 
 
 # --- relational reference queries (oracle-checked operator proofs) ---

@@ -318,18 +318,11 @@ def dedup_embedding_cosine_expected(
     return df.astype({"vec_a": "int64", "vec_b": "int64", "max(cos)": "float64"})
 
 
-def ann_topk_ivf_expected(
-    sf_dir: str,
-    n_queries: int = 8,
-    k: int = 10,
-    n_lists: int = 32,
-    n_probe: int = 12,
-) -> pd.DataFrame:
-    """(query_id, vec_id) IVF top-k membership: same seeded coarse
-    quantizer, one full-corpus Lloyd step (single-pass accumulation — the
-    pipeline's 1e-6 centroid rounding makes the two orders agree), same
-    probe-list selection and (cos desc, vec_id asc) tie-break."""
-    ids, vecs = _read_embeddings(sf_dir)
+def _ivf_refined_serial(vecs: np.ndarray, n_lists: int) -> np.ndarray:
+    """Serial mirror of pipelines.training_data._ivf_refined_centroids:
+    seeds = first n_lists vectors, one full-corpus Lloyd step (single-pass
+    accumulation — the pipeline's 1e-6 centroid rounding makes the two
+    summation orders agree), re-normalized."""
     seeds = vecs[:n_lists].copy()
     seeds /= np.linalg.norm(seeds, axis=1, keepdims=True) + 1e-30
     vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
@@ -342,6 +335,22 @@ def ann_topk_ivf_expected(
     )
     refined = np.round(refined, 6)
     refined /= np.linalg.norm(refined, axis=1, keepdims=True) + 1e-30
+    return refined
+
+
+def ann_topk_ivf_expected(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_lists: int = 32,
+    n_probe: int = 12,
+) -> pd.DataFrame:
+    """(query_id, vec_id) IVF top-k membership: same seeded coarse
+    quantizer, one full-corpus Lloyd step, same probe-list selection and
+    (cos desc, vec_id asc) tie-break."""
+    ids, vecs = _read_embeddings(sf_dir)
+    vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+    refined = _ivf_refined_serial(vecs, n_lists)
 
     q_ids = ids[:n_queries]
     qn = vn[:n_queries]
@@ -354,6 +363,29 @@ def ann_topk_ivf_expected(
         order = sorted(in_probe, key=lambda j: (-sims[qi, j], ids[j]))
         rows.extend((int(q_id), int(ids[j])) for j in order[:k])
     return pd.DataFrame(rows, columns=["query_id", "vec_id"]).astype("int64")
+
+
+def knn_graph_ivf_expected(
+    sf_dir: str, k: int = 5, n_lists: int = 32, n_probe: int = 20
+) -> pd.DataFrame:
+    """(vec_id, neighbor_id) membership mirror of
+    pipelines.training_data.knn_graph_ivf: same quantizer
+    (_ivf_refined_serial), same stable-argsort probe lists (col 0 = the
+    row's data list), candidates = vectors whose data list is probed,
+    self excluded, top-k by (cos desc, neighbor_id asc)."""
+    ids, vecs = _read_embeddings(sf_dir)
+    vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+    refined = _ivf_refined_serial(vecs, n_lists)
+    order = np.argsort(-(vn @ refined.T), axis=1, kind="stable")[:, :n_probe]
+    assign = order[:, 0]
+    sims = vn @ vn.T
+    rows = []
+    for qi in range(len(ids)):
+        cand = np.flatnonzero(np.isin(assign, order[qi]))
+        cand = cand[cand != qi]
+        best = sorted(cand, key=lambda j: (-sims[qi, j], ids[j]))
+        rows.extend((int(ids[qi]), int(ids[j])) for j in best[:k])
+    return pd.DataFrame(rows, columns=["vec_id", "neighbor_id"]).astype("int64")
 
 
 def doc_fingerprint_expected(

@@ -408,6 +408,55 @@ def test_ann_topk_ivf_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_knn_graph_exact_vs_numpy(ray_session):
+    """knn_graph (distributed block-nested self-join, forced multi-chunk)
+    equals a single-process numpy brute force: per-vector neighbor
+    membership AND rank order — chunking/partition order shakes out."""
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import knn_graph
+
+    k = 5
+    got = knn_graph(SF, k=k, chunk_rows=64).to_pandas()  # 8 chunks at n=500
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+    sims = vn @ vn.T
+    np.fill_diagonal(sims, -2.0)
+    assert len(got) == len(ids) * k
+    by_vec = got.sort_values("rank").groupby("vec_id")["neighbor_id"]
+    for qi in range(0, len(ids), 37):  # sample every 37th vector
+        order = sorted(range(len(ids)), key=lambda j: (-sims[qi, j], ids[j]))
+        expect = [int(ids[j]) for j in order[:k]]
+        assert list(by_vec.get_group(ids[qi])) == expect, ids[qi]
+
+
+def test_knn_graph_ivf_recall_and_mirror(ray_session):
+    """The IVF co-partitioned graph (a) keeps mean recall@5 ≥ 0.9 vs the
+    exact baseline and (b) is row-exact vs its serial mirror — the same
+    dump the driver oracle reads."""
+    from osm_wikidata_ray.pipelines.training_data import knn_graph, knn_graph_ivf
+    from osm_wikidata_ray.sources.td_oracle import knn_graph_ivf_expected
+
+    exact = knn_graph(SF, k=5).to_pandas()
+    approx = knn_graph_ivf(SF, k=5).to_pandas()
+    recalls = []
+    for vid, e in exact.groupby("vec_id")["neighbor_id"]:
+        a = set(approx.loc[approx.vec_id == vid, "neighbor_id"])
+        recalls.append(len(set(e) & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)
+
+    mirror = knn_graph_ivf_expected(SF, k=5)
+    got = (
+        approx[["vec_id", "neighbor_id"]]
+        .sort_values(["vec_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    exp = mirror.sort_values(["vec_id", "neighbor_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_embedding_kmeans_matches_serial_mirror(ray_session):
     """embedding_kmeans' integer-arithmetic Lloyd loop is bit-exact vs the
     serial mirror regardless of batching (the distributed partial sums are
