@@ -2347,40 +2347,60 @@ def knn_graph_ivf(
             }
         )
 
-    def list_topk(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series(dtype="int64"),
-             "neighbor_id": pd.Series(dtype="int64"),
-             "cos": pd.Series(dtype="float64")}
-        )
-        data = group[group["is_data"].to_numpy()]
-        if data.empty:
-            return empty
-        d_ids = data["vec_id"].to_numpy()
-        dvec = np.stack(data["embedding"].to_list()).astype(np.float64)
-        dn = dvec / (np.linalg.norm(dvec, axis=1, keepdims=True) + 1e-30)
-        q_ids = group["vec_id"].to_numpy()
-        qvec = np.stack(group["embedding"].to_list()).astype(np.float64)
-        qn = qvec / (np.linalg.norm(qvec, axis=1, keepdims=True) + 1e-30)
-        sims = qn @ dn.T
-        sims[q_ids[:, None] == d_ids[None, :]] = -2.0  # self never a neighbor
-        top = min(k, sims.shape[1])
-        if top <= 0:
-            return empty
-        part = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-        out = pd.DataFrame(
-            {"vec_id": np.repeat(q_ids, top).astype(np.int64),
-             "neighbor_id": d_ids[part.ravel()].astype(np.int64),
-             "cos": np.take_along_axis(sims, part, axis=1).ravel()}
-        )
+    _EMPTY_TOPK = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "cos": pa.array([], pa.float64())}
+    )
+
+    def list_topk(group: pa.Table) -> pa.Table:
+        # Arrow group block: list_column_to_matrix is one flat-buffer
+        # reshape — the pandas path paid an object-list np.stack over every
+        # replicated row (measured at the 500k stress)
+        is_data = group.column("is_data").to_numpy(zero_copy_only=False)
+        d_idx = np.flatnonzero(is_data)
+        if len(d_idx) == 0:
+            return _EMPTY_TOPK
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = list_column_to_matrix(group.column("embedding")).astype(np.float64)
+        vn = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+        d_ids = ids[d_idx]
+        dn = vn[d_idx]
+        top = min(k, len(d_idx))
+        # slab the query side (|Q| ≈ n·n_probe/n_lists can be 10× |D|):
+        # the sims buffer stays slab × |D| ≈ 64 MB at a 4k data list, not
+        # the |Q|×|D| ~GB matrix — same fix as semdedup's prune pass
+        out_q: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        slab = 2048
+        for s in range(0, len(ids), slab):
+            qs_ids = ids[s : s + slab]
+            sims = vn[s : s + slab] @ dn.T
+            sims[qs_ids[:, None] == d_ids[None, :]] = -2.0  # self excluded
+            # partition for the LARGEST `top` without negating (the -sims
+            # copy was a measurable share of the 500k-stress UDF time)
+            part = np.argpartition(sims, sims.shape[1] - top, axis=1)[:, -top:]
+            out_q.append(np.repeat(qs_ids, top))
+            out_n.append(d_ids[part.ravel()])
+            out_c.append(np.take_along_axis(sims, part, axis=1).ravel())
+        q = np.concatenate(out_q)
+        n_ = np.concatenate(out_n)
+        c = np.concatenate(out_c)
         # a query's self row scores -2 and can pad into the top slice of a
         # small list — drop it so it never reaches the final reduce
-        return out[out["cos"] > -2.0]
+        keep = c > -2.0
+        return pa.table(
+            {"vec_id": pa.array(q[keep].astype(np.int64), pa.int64()),
+             "neighbor_id": pa.array(n_[keep].astype(np.int64), pa.int64()),
+             "cos": pa.array(c[keep], pa.float64())}
+        )
 
     partials = (
         ds.map_batches(fan_out, batch_format="pyarrow")
+        .materialize()  # barrier: fused map→sort schedules pathologically
         .groupby("list_id", num_partitions=min(n_lists, default_partitions()))
-        .map_groups(list_topk, batch_format="pandas")
+        .map_groups(list_topk, batch_format="pyarrow")
         .materialize()  # barrier between the two all-to-alls (repo invariant)
     )
     return _per_vec_topk(partials, k)
