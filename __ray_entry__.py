@@ -659,6 +659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_ivf": lambda sf: td.knn_graph_ivf(sf)
         .select_columns(["vec_id", "neighbor_id"])
         .sort(["vec_id", "neighbor_id"]),
+        # product-quantization compression: sample-trained integer
+        # codebooks, distributed encode — bit-exact vs the serial mirror
+        "embedding_pq": lambda sf: td.embedding_pq(sf).sort(["vec_id"]),
         # Lloyd's k-means in integer arithmetic — bit-exact vs the serial
         # mirror regardless of batching/partition order
         "embedding_kmeans": lambda sf: td.embedding_kmeans(sf).sort(
@@ -791,7 +794,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash", "dedup_simhash", "dedup_minhash_clusters",
             "dedup_simhash_clusters", "dedup_embedding_cosine",
             "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
-            "embedding_kmeans", "semdedup",
+            "embedding_kmeans", "semdedup", "embedding_pq",
         )
     }
     return {
@@ -829,6 +832,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, neighbor_id
             FROM read_parquet('{td_dumps["knn_graph_ivf"]}')
             ORDER BY vec_id, neighbor_id
+        """,
+        "embedding_pq": f"""
+            SELECT * FROM read_parquet('{td_dumps["embedding_pq"]}')
+            ORDER BY vec_id
         """,
         "embedding_kmeans": f"""
             SELECT vec_id, cluster, dist

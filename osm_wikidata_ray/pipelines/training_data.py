@@ -2406,6 +2406,103 @@ def knn_graph_ivf(
     return _per_vec_topk(partials, k)
 
 
+def _pq_train_codebooks(
+    train_q: np.ndarray, m: int, ksub: int, iters: int
+) -> np.ndarray:
+    """(m, ksub, d/m) int64 PQ codebooks from an int64-quantized training
+    sample: per subspace the repo's integer Lloyd recipe (init = the ksub
+    first sample rows, int64 squared-distance argmin with ties to the
+    lowest code, floor-div update, empty codeword keeps its vector) — one
+    plain numpy loop, bit-exact regardless of how the sample was gathered.
+    Shared verbatim by the engine and the serial mirror
+    (sources/td_oracle.embedding_pq_expected)."""
+    n, d = train_q.shape
+    sd = d // m
+    books = np.empty((m, ksub, sd), dtype=np.int64)
+    for mi in range(m):
+        sub = train_q[:, mi * sd : (mi + 1) * sd]
+        cq = sub[: min(ksub, n)].copy()
+        if len(cq) < ksub:  # degenerate tiny sample: repeat the last row
+            cq = np.vstack([cq, np.repeat(cq[-1:], ksub - len(cq), axis=0)])
+        for _ in range(iters):
+            a, _ = _km_assign(sub, cq)
+            for j in range(ksub):
+                members = sub[a == j]
+                if len(members):
+                    cq[j] = members.sum(axis=0) // len(members)
+        books[mi] = cq
+    return books
+
+
+def embedding_pq(
+    sf_dir: str, m: int = 8, ksub: int = 16, iters: int = 2,
+    n_train: int = 4096,
+) -> "ray.data.Dataset":
+    """Product-quantization compression of the embeddings table (Jégou,
+    Douze & Schmid, "Product quantization for nearest neighbor search",
+    TPAMI 2011): d dims split into m subspaces, a ksub-codeword codebook
+    per subspace, every vector stored as m small codes — d×4 bytes →
+    m bytes (32× at d=64, m=8), the standard way embeddings get cheap
+    enough to keep hot at 100 TB.  Scale shape: codebooks train on a
+    BOUNDED sample (the published recipe) selected as the n_train LOWEST
+    vec_ids via a per-batch min-k combiner — deterministic under any
+    partitioning, driver reduce bounded by n_train×n_blocks rows — and
+    the Lloyd loop then runs driver-side on that ≤n_train×d matrix (2 MB
+    at the defaults; deliberately NOT a distributed loop, the sample is
+    driver-sized by construction).  The ENCODE is the distributed part:
+    one full-corpus task-stage pass, codebooks broadcast once via
+    ray.put + the per-process cache, integer-exact assignments.  Output:
+    vec_id, c0..c{m-1} (codeword ids), err (quantized-domain
+    reconstruction distance, rounded like embedding_kmeans' dist).
+    Bit-exact serial mirror oracle."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def min_n(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:n_train]
+        return pa.table(
+            {"vec_id": pa.array(ids[take], pa.int64()),
+             "embedding": batch.column("embedding").take(pa.array(take))}
+        )
+
+    # two-level min-k combine: level 1 bounds every BLOCK to ≤n_train rows
+    # (batch_size=None = whole block; at the 128 MB block target that is a
+    # ~100× cut), the coalesce + level 2 bound the driver pull to
+    # 8×n_train rows however many blocks the corpus has
+    sample = ds.map_batches(min_n, batch_size=None, batch_format="pyarrow")
+    sample = sample.repartition(8).map_batches(
+        min_n, batch_size=None, batch_format="pyarrow"
+    )
+    parts = sample.to_pandas()
+    parts = parts.sort_values("vec_id").head(n_train)
+    train_q = _km_quantize(np.stack(parts["embedding"].to_numpy()))
+    books = _pq_train_codebooks(train_q, m, ksub, iters)
+    books_ref = ray.put(books)
+    sd = books.shape[2]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = _enrich_cache.get(books_ref.hex())
+        if b is None:
+            b = ray.get(books_ref)
+            _enrich_cache.clear()
+            _enrich_cache[books_ref.hex()] = b
+        q = _km_quantize(list_column_to_matrix(batch.column("embedding")))
+        cols: dict = {"vec_id": batch.column("vec_id")}
+        err = np.zeros(len(q), dtype=np.int64)
+        for mi in range(b.shape[0]):
+            sub = q[:, mi * sd : (mi + 1) * sd]
+            a, d2 = _km_assign(sub, b[mi])
+            cols[f"c{mi}"] = pa.array(a.astype(np.int64), pa.int64())
+            err += d2
+        cols["err"] = pa.array(
+            np.round(np.sqrt(err.astype(np.float64)) / _KM_SCALE, 6),
+            pa.float64(),
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 # --- relational reference queries (oracle-checked operator proofs) ---
 
 def pricing_summary(sf_dir: str) -> "ray.data.Dataset":

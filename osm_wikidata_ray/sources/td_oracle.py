@@ -553,6 +553,38 @@ def embedding_kmeans_expected(
     ).sort_values("vec_id").reset_index(drop=True)
 
 
+def embedding_pq_expected(
+    sf_dir: str, m: int = 8, ksub: int = 16, iters: int = 2,
+    n_train: int = 4096,
+) -> pd.DataFrame:
+    """Serial mirror of pipelines.training_data.embedding_pq: same
+    training sample (the n_train lowest vec_ids), same shared integer
+    codebook trainer (_pq_train_codebooks), same integer encode — the
+    engine's min-k combiner + broadcast orchestration is what the driver
+    check exercises."""
+    from ..pipelines.training_data import (
+        _KM_SCALE,
+        _km_assign,
+        _km_quantize,
+        _pq_train_codebooks,
+    )
+
+    ids, vecs = _read_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    q = _km_quantize(vecs)
+    books = _pq_train_codebooks(q[:n_train], m, ksub, iters)
+    sd = books.shape[2]
+    cols: dict = {"vec_id": ids}
+    err = np.zeros(len(q), dtype=np.int64)
+    for mi in range(m):
+        a, d2 = _km_assign(q[:, mi * sd : (mi + 1) * sd], books[mi])
+        cols[f"c{mi}"] = a.astype(np.int64)
+        err += d2
+    cols["err"] = np.round(np.sqrt(err.astype(np.float64)) / _KM_SCALE, 6)
+    return pd.DataFrame(cols)
+
+
 def semdedup_expected(
     sf_dir: str, k: int = 8, iters: int = 4, threshold: float = 0.45
 ) -> pd.DataFrame:

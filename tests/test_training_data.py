@@ -457,6 +457,24 @@ def test_knn_graph_ivf_recall_and_mirror(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_embedding_pq_matches_serial_mirror(ray_session):
+    """embedding_pq's sample-train + distributed encode is bit-exact vs
+    the serial mirror (same dump the driver oracle reads), and the codes
+    actually compress: m int codes per vector, all within [0, ksub)."""
+    from osm_wikidata_ray.pipelines.training_data import embedding_pq
+    from osm_wikidata_ray.sources.td_oracle import embedding_pq_expected
+
+    got = embedding_pq(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    exp = embedding_pq_expected(SF).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    code_cols = [c for c in got.columns if c.startswith("c")]
+    assert len(code_cols) == 8
+    for c in code_cols:
+        assert got[c].between(0, 15).all()
+    # reconstruction is lossy but bounded: non-negative, finite
+    assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
+
+
 def test_embedding_kmeans_matches_serial_mirror(ray_session):
     """embedding_kmeans' integer-arithmetic Lloyd loop is bit-exact vs the
     serial mirror regardless of batching (the distributed partial sums are
