@@ -662,6 +662,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization compression: sample-trained integer
         # codebooks, distributed encode — bit-exact vs the serial mirror
         "embedding_pq": lambda sf: td.embedding_pq(sf).sort(["vec_id"]),
+        # PQ-ADC shortlist + exact cosine re-rank (membership compared;
+        # recall vs ann_topk pinned in pytest, serial-mirror dump oracle)
+        "ann_topk_pq": lambda sf: td.ann_topk_pq(sf)
+        .select_columns(["query_id", "vec_id"])
+        .sort(["query_id", "vec_id"]),
         # Lloyd's k-means in integer arithmetic — bit-exact vs the serial
         # mirror regardless of batching/partition order
         "embedding_kmeans": lambda sf: td.embedding_kmeans(sf).sort(
@@ -794,7 +799,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_minhash", "dedup_simhash", "dedup_minhash_clusters",
             "dedup_simhash_clusters", "dedup_embedding_cosine",
             "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
-            "embedding_kmeans", "semdedup", "embedding_pq",
+            "embedding_kmeans", "semdedup", "embedding_pq", "ann_topk_pq",
         )
     }
     return {
@@ -836,6 +841,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pq": f"""
             SELECT * FROM read_parquet('{td_dumps["embedding_pq"]}')
             ORDER BY vec_id
+        """,
+        "ann_topk_pq": f"""
+            SELECT query_id, vec_id
+            FROM read_parquet('{td_dumps["ann_topk_pq"]}')
+            ORDER BY query_id, vec_id
         """,
         "embedding_kmeans": f"""
             SELECT vec_id, cluster, dist

@@ -124,6 +124,7 @@ TRAINING_BENCHES = [
     "q_shipping_priority", "q_asof_join", "q_group_topk", "q_band_join",
     "q_length_quantiles", "q_group_quantiles", "embedding_centroids",
     "embedding_kmeans", "semdedup", "coreset_select", "embedding_pq",
+    "ann_topk_pq",
     "lm_score", "token_counts_bpe", "heavy_hitters",
     "audio_features", "video_frames", "media_features_mixed",
 ]

@@ -585,6 +585,54 @@ def embedding_pq_expected(
     return pd.DataFrame(cols)
 
 
+def ann_topk_pq_expected(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = 16,
+    ksub: int = 16,
+    iters: int = 2,
+    n_train: int = 4096,
+    shortlist: int = 128,
+) -> pd.DataFrame:
+    """(query_id, vec_id) mirror of pipelines.training_data.ann_topk_pq:
+    same normalized training sample (n_train lowest vec_ids), shared
+    integer codebook trainer, same int64 ADC shortlist by (adist, vec_id)
+    and float64 cosine re-rank with (cos desc, vec_id asc) ties."""
+    from ..pipelines.training_data import (
+        _km_assign,
+        _km_quantize,
+        _pq_train_codebooks,
+    )
+
+    ids, vecs = _read_embeddings(sf_dir)
+    vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+    by_id = np.argsort(ids, kind="stable")
+    books = _pq_train_codebooks(
+        _km_quantize(vn[by_id[:n_train]]), m, ksub, iters
+    )
+    sd = books.shape[2]
+    q = _km_quantize(vn)
+    codes = np.stack(
+        [_km_assign(q[:, mi * sd : (mi + 1) * sd], books[mi])[0]
+         for mi in range(m)],
+        axis=1,
+    )
+    sims = vn @ vn.T
+    rows = []
+    for qi in range(n_queries):
+        lut = np.stack(
+            [((books[mi] - q[qi, mi * sd : (mi + 1) * sd]) ** 2).sum(axis=1)
+             for mi in range(m)]
+        )
+        adist = lut[np.arange(m)[:, None], codes.T].sum(axis=0)
+        adist[ids == ids[qi]] = np.iinfo(np.int64).max
+        short = np.lexsort((ids, adist))[:shortlist]
+        rer = sorted(short, key=lambda j: (-sims[qi, j], ids[j]))[:k]
+        rows.extend((int(ids[qi]), int(ids[j])) for j in rer)
+    return pd.DataFrame(rows, columns=["query_id", "vec_id"]).astype("int64")
+
+
 def semdedup_expected(
     sf_dir: str, k: int = 8, iters: int = 4, threshold: float = 0.45
 ) -> pd.DataFrame:

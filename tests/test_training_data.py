@@ -475,6 +475,34 @@ def test_embedding_pq_matches_serial_mirror(ray_session):
     assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
 
 
+def test_ann_topk_pq_recall_and_mirror(ray_session):
+    """PQ-ADC shortlist + exact re-rank keeps recall@10 ≥ 0.9 vs the exact
+    brute force, and the membership is row-exact vs the serial mirror."""
+    from osm_wikidata_ray.pipelines.training_data import ann_topk, ann_topk_pq
+    from osm_wikidata_ray.sources.td_oracle import ann_topk_pq_expected
+
+    exact = ann_topk(SF, n_queries=8, k=10).to_pandas()
+    approx = ann_topk_pq(SF, n_queries=8, k=10).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        a = set(approx.loc[approx.query_id == qid, "vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    got = (
+        approx[["query_id", "vec_id"]]
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        ann_topk_pq_expected(SF)
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_embedding_kmeans_matches_serial_mirror(ray_session):
     """embedding_kmeans' integer-arithmetic Lloyd loop is bit-exact vs the
     serial mirror regardless of batching (the distributed partial sums are
