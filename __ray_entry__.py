@@ -705,6 +705,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["source", "q"]
         ),
         "lm_score": lambda sf: td.lm_score(sf).sort(["doc_id"]),
+        # DSIR importance scoring: hashed-unigram target/raw log-ratio,
+        # bounded-by-n_buckets exchange; the oracle retrains in CTEs
+        "dsir_select": lambda sf: td.dsir_select(sf).sort(["doc_id"]),
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
         ),
@@ -1510,6 +1513,30 @@ def oracle_sql() -> dict[str, str]:
               FROM toks_ne tk LEFT JOIN vocab v USING (w), total tt)
             SELECT doc_id, round(avg(lp), 4) AS avg_logprob
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dsir_select": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
+              FROM documents
+            ),
+            bk AS (
+              SELECT doc_id, lang,
+                     (('0x' || substr(md5(w), 1, 8))::UBIGINT % 1024)::BIGINT AS b
+              FROM toks WHERE w <> ''
+            ),
+            raw AS (SELECT b, count(*)::DOUBLE AS rc FROM bk GROUP BY b),
+            tgt AS (SELECT b, count(*)::DOUBLE AS tc
+                    FROM bk WHERE lang = 'en' GROUP BY b),
+            tot AS (SELECT (SELECT sum(rc) FROM raw) AS rt,
+                           (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt),
+            wt AS (SELECT r.b,
+                          ln((coalesce(t.tc, 0) + 1) / (tt + 1024))
+                        - ln((r.rc + 1) / (rt + 1024)) AS lw
+                   FROM raw r LEFT JOIN tgt t USING (b), tot)
+            SELECT bk.doc_id, round(avg(wt.lw), 4) AS dsir_score
+            FROM bk JOIN wt ON bk.b = wt.b
+            GROUP BY bk.doc_id ORDER BY doc_id
         """,
         "q_length_quantiles": """
             SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,

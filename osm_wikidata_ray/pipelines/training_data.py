@@ -3616,6 +3616,114 @@ def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+_dsir_bucket_cache: dict = {}
+
+
+def _word_buckets(words: pd.Series, n_buckets: int) -> np.ndarray:
+    """md5-hashed feature bucket per word — int(md5(w)[:8], 16) % n_buckets,
+    the SQL-reproducible hash (('0x' || substr(md5(w),1,8))::UBIGINT in
+    DuckDB).  Hashing runs once per DISTINCT word per batch behind a
+    per-process cache (natural text repeats words heavily across batches);
+    the cache clears at 500k entries so a pathological vocabulary can't
+    grow a worker's heap."""
+    import hashlib
+
+    uniq = words.unique()
+    vals = {}
+    for w in uniq:
+        b = _dsir_bucket_cache.get(w)
+        if b is None:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+            if len(_dsir_bucket_cache) > 500_000:
+                _dsir_bucket_cache.clear()
+            _dsir_bucket_cache[w] = b
+        vals[w] = b
+    return words.map(vals).to_numpy(np.int64)
+
+
+def dsir_select(
+    sf_dir: str, target_lang: str = "en", n_buckets: int = 1024
+) -> "ray.data.Dataset":
+    """DSIR-style importance scoring (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    unigram features, a bag-of-buckets unigram model of the TARGET domain
+    (here: docs with lang == target_lang) and of the RAW corpus, per-doc
+    importance = mean log-ratio of its tokens' buckets (Laplace +1
+    smoothing) — the standard way to pick pretraining data that looks
+    like a target domain.  Scale shape: pass 1 emits per-batch (bucket,
+    raw_c, tgt_c) partial rows so the exchange is bounded by n_buckets —
+    never the vocabulary or the corpus; the (n_buckets,) weight vector is
+    a driver fold + one broadcast; pass 2 is the vectorized lm_score-style
+    apply.  The actual resampling composes downstream (mixture_sample /
+    stratified_sample over dsir_score).  The SQL oracle RETRAINS the same
+    model in CTEs — exact, not dump-backed (lm_score precedent; round-4
+    absorbs float summation order)."""
+
+    def tokens_of(batch: pa.Table) -> tuple[pd.Series, np.ndarray]:
+        toks = pc.split_pattern_regex(
+            _ws_trim(pc.utf8_lower(batch.column("text"))), r"\s+"
+        )
+        words = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        return pd.Series(words.to_pandas()[keep]), parents[keep]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        words, parents = tokens_of(batch)
+        b = _word_buckets(words, n_buckets)
+        raw = np.bincount(b, minlength=n_buckets)
+        is_tgt = pc.equal(batch.column("lang"), target_lang).to_numpy(
+            zero_copy_only=False
+        )
+        tgt = np.bincount(b[is_tgt[parents]], minlength=n_buckets)
+        return pa.table(
+            {"bucket": pa.array(np.arange(n_buckets), pa.int64()),
+             "raw_c": pa.array(raw.astype(np.int64), pa.int64()),
+             "tgt_c": pa.array(tgt.astype(np.int64), pa.int64())}
+        )
+
+    agg = _bounded_group_sum(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        ["bucket"], ["raw_c", "tgt_c"],
+    ).to_pandas()
+    raw_c = np.zeros(n_buckets, np.float64)
+    tgt_c = np.zeros(n_buckets, np.float64)
+    raw_c[agg["bucket"].to_numpy()] = agg["raw_c"].to_numpy(dtype=np.float64)
+    tgt_c[agg["bucket"].to_numpy()] = agg["tgt_c"].to_numpy(dtype=np.float64)
+    rt, tt = raw_c.sum(), tgt_c.sum()
+    # same expression SHAPE as the SQL oracle: divide, then ln
+    w = np.log((tgt_c + 1.0) / (tt + n_buckets)) - np.log(
+        (raw_c + 1.0) / (rt + n_buckets)
+    )
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wv = _enrich_cache.get(w_ref.hex())
+        if wv is None:
+            wv = ray.get(w_ref)
+            _enrich_cache.clear()
+            _enrich_cache[w_ref.hex()] = wv
+        words, parents = tokens_of(batch)
+        lw = wv[_word_buckets(words, n_buckets)]
+        n = len(batch)
+        sums = np.zeros(n, np.float64)
+        cnts = np.zeros(n, np.int64)
+        np.add.at(sums, parents, lw)
+        np.add.at(cnts, parents, 1)
+        has = cnts > 0
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "dsir_score": pa.array(
+                 np.round(sums[has] / cnts[has], 4), pa.float64()
+             )}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def dedup_passages(
     sf_dir: str, window: int = 16, stride: int = 8, max_df: int = 16
 ) -> "ray.data.Dataset":

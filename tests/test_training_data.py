@@ -475,6 +475,36 @@ def test_embedding_pq_matches_serial_mirror(ray_session):
     assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
 
 
+def test_dsir_select_prefers_target_like_docs(ray_session, tmp_path):
+    """DSIR importance: docs written in the target domain's vocabulary
+    outscore docs from a disjoint vocabulary, even when their own lang tag
+    is not the target — the score measures distributional similarity, not
+    the label."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import dsir_select
+
+    rows = []
+    for i in range(20):  # the target domain: English-tagged, vocab A
+        rows.append({"doc_id": i, "text": "alpha beta gamma delta epsilon",
+                     "lang": "en", "source": "s", "n_chars": 1})
+    for i in range(20, 30):  # target-LIKE but mistagged: vocab A
+        rows.append({"doc_id": i, "text": "alpha beta gamma delta epsilon",
+                     "lang": "xx", "source": "s", "n_chars": 1})
+    for i in range(30, 40):  # off-domain: disjoint vocab B
+        rows.append({"doc_id": i, "text": "uno dos tres cuatro cinco",
+                     "lang": "xx", "source": "s", "n_chars": 1})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    df = dsir_select(str(tmp_path)).to_pandas().set_index("doc_id")
+    like = df.loc[range(20, 30), "dsir_score"].mean()
+    off = df.loc[range(30, 40), "dsir_score"].mean()
+    assert like > off, (like, off)
+    # vocab-A docs all share one text, so one score; same for vocab B
+    assert df.loc[range(0, 30), "dsir_score"].nunique() == 1
+
+
 def test_ann_topk_pq_recall_and_mirror(ray_session):
     """PQ-ADC shortlist + exact re-rank keeps recall@10 ≥ 0.9 vs the exact
     brute force, and the membership is row-exact vs the serial mirror."""
