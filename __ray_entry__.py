@@ -708,6 +708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance scoring: hashed-unigram target/raw log-ratio,
         # bounded-by-n_buckets exchange; the oracle retrains in CTEs
         "dsir_select": lambda sf: td.dsir_select(sf).sort(["doc_id"]),
+        # BPE tokenizer induction: distributed word count → shared merge
+        # loop; serial-mirror dump oracle (mirror recounts independently)
+        "bpe_train": lambda sf: td.bpe_train(sf).sort(["rank"]),
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
         ),
@@ -803,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_simhash_clusters", "dedup_embedding_cosine",
             "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
             "embedding_kmeans", "semdedup", "embedding_pq", "ann_topk_pq",
+            "bpe_train",
         )
     }
     return {
@@ -849,6 +853,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id
             FROM read_parquet('{td_dumps["ann_topk_pq"]}')
             ORDER BY query_id, vec_id
+        """,
+        "bpe_train": f"""
+            SELECT "rank", "left", "right", pair_count
+            FROM read_parquet('{td_dumps["bpe_train"]}')
+            ORDER BY "rank"
         """,
         "embedding_kmeans": f"""
             SELECT vec_id, cluster, dist

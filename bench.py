@@ -125,7 +125,7 @@ TRAINING_BENCHES = [
     "q_length_quantiles", "q_group_quantiles", "embedding_centroids",
     "embedding_kmeans", "semdedup", "coreset_select", "embedding_pq",
     "ann_topk_pq",
-    "lm_score", "dsir_select", "token_counts_bpe", "heavy_hitters",
+    "lm_score", "dsir_select", "bpe_train", "token_counts_bpe", "heavy_hitters",
     "audio_features", "video_frames", "media_features_mixed",
 ]
 

@@ -3616,6 +3616,129 @@ def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _bpe_merge_loop(
+    words: list[str], freqs: np.ndarray, n_merges: int
+) -> pd.DataFrame:
+    """The in-memory BPE merge loop over a (word, freq) table (Sennrich et
+    al., ACL 2016 alg.): words start as character sequences; each round
+    counts adjacent symbol pairs weighted by word freq (one np.unique over
+    packed int64 pair keys), merges the most frequent pair — ties break to
+    the lexicographically smallest (left, right) symbol strings — with
+    standard greedy left-to-right non-overlapping replacement inside each
+    affected word.  Deterministic; shared verbatim by the engine and the
+    serial mirror (sources/td_oracle.bpe_train_expected), so the driver
+    oracle exercises the distributed word-count stage.  Cost is
+    O(n_merges × Σ len(word)) over DISTINCT words — the driver-sized table
+    the freq/vocab cut guarantees, exactly where SentencePiece/HF trainers
+    run their merge loops."""
+    sym2id: dict[str, int] = {}
+    id2sym: list[str] = []
+
+    def sid(s: str) -> int:
+        i = sym2id.get(s)
+        if i is None:
+            i = len(id2sym)
+            sym2id[s] = i
+            id2sym.append(s)
+        return i
+
+    seqs = [np.fromiter((sid(ch) for ch in w), np.int64) for w in words]
+    f = freqs.astype(np.int64)
+    out = []
+    for rank in range(n_merges):
+        lefts, rights, wts = [], [], []
+        for seq, fw in zip(seqs, f):
+            if len(seq) > 1:
+                lefts.append(seq[:-1])
+                rights.append(seq[1:])
+                wts.append(np.full(len(seq) - 1, fw, np.int64))
+        if not lefts:
+            break
+        a = np.concatenate(lefts)
+        b = np.concatenate(rights)
+        w = np.concatenate(wts)
+        key = (a << np.int64(32)) | b
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.zeros(len(uk), np.int64)
+        np.add.at(cnt, inv, w)
+        best_c = cnt.max()
+        cand = uk[cnt == best_c]
+        pairs = [(id2sym[int(kk) >> 32], id2sym[int(kk) & 0xFFFFFFFF])
+                 for kk in cand]
+        left, right = min(pairs)
+        la, rb = sym2id[left], sym2id[right]
+        new_id = sid(left + right)
+        for i, seq in enumerate(seqs):
+            hits = np.flatnonzero((seq[:-1] == la) & (seq[1:] == rb))
+            if len(hits) == 0:
+                continue
+            merged = []
+            j = 0
+            while j < len(seq):
+                if j < len(seq) - 1 and seq[j] == la and seq[j + 1] == rb:
+                    merged.append(new_id)
+                    j += 2
+                else:
+                    merged.append(seq[j])
+                    j += 1
+            seqs[i] = np.asarray(merged, np.int64)
+        out.append((rank, left, right, int(best_c)))
+    return pd.DataFrame(
+        out, columns=["rank", "left", "right", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+def bpe_train(
+    sf_dir: str, n_merges: int = 40, min_count: int = 2,
+    max_vocab: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """BPE tokenizer induction (Sennrich, Haddow & Birch, ACL 2016) — the
+    published trainer SHAPE: the corpus reduces to a (word, freq) table by
+    one exchange bounded by DISTINCT words (lm_score's training bound),
+    the freq cut (min_count) plus a top-max_vocab sort/limit bound the
+    table to driver size — the same vocabulary caps SentencePiece/HF
+    trainers apply before their in-memory merge loops — and
+    _bpe_merge_loop runs the weighted merge rounds.  Output: one row per
+    learned merge (rank, left, right, pair_count).  Serial-mirror dump
+    oracle (the mirror shares the merge loop and independently recounts
+    the words, so the driver check exercises the distributed stage)."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            _ws_trim(pc.utf8_lower(batch.column("text"))), r"\s+"
+        )
+        words = pc.list_flatten(toks)
+        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        vc = pd.Series(words.to_pandas()[keep]).value_counts()
+        return pa.table(
+            {"w": pa.array(vc.index, pa.string()),
+             "c": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["text"])
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("w", num_partitions=default_partitions())
+        .sum("c")
+        .materialize()  # two all-to-alls (groupby → sort) need the barrier
+    )
+    vocab = (
+        counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("sum(c)"), min_count)),
+            batch_format="pyarrow",
+        )
+        .sort(["sum(c)", "w"], descending=[True, False])
+        .limit(max_vocab)
+        .to_pandas()
+    )
+    merges = _bpe_merge_loop(
+        vocab["w"].tolist(), vocab["sum(c)"].to_numpy(np.int64), n_merges
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(merges)
+
+
 _dsir_bucket_cache: dict = {}
 
 

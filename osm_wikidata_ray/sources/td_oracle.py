@@ -585,6 +585,37 @@ def embedding_pq_expected(
     return pd.DataFrame(cols)
 
 
+def bpe_train_expected(
+    sf_dir: str, n_merges: int = 40, min_count: int = 2
+) -> pd.DataFrame:
+    """Serial mirror of pipelines.training_data.bpe_train: an independent
+    word-frequency count (same Arrow lower/trim/split kernels, one serial
+    pass) feeds the SHARED merge loop (_bpe_merge_loop) — the engine's
+    distributed count + freq-cut + sort/limit is what the driver check
+    exercises."""
+    import pyarrow.compute as pc_
+
+    from ..pipelines.training_data import TRIM_PATTERN, _bpe_merge_loop
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    trimmed = pc_.replace_substring_regex(
+        pc_.utf8_lower(t.column("text")), TRIM_PATTERN, ""
+    )
+    words = pc_.list_flatten(pc_.split_pattern_regex(trimmed, r"\s+"))
+    vc = pd.Series(
+        [w for w in words.to_pylist() if w != ""]
+    ).value_counts()
+    vc = vc[vc >= min_count]
+    vocab = vc.reset_index()
+    vocab.columns = ["w", "c"]
+    vocab = vocab.sort_values(
+        ["c", "w"], ascending=[False, True], kind="stable"
+    )
+    return _bpe_merge_loop(
+        vocab["w"].tolist(), vocab["c"].to_numpy(np.int64), n_merges
+    )
+
+
 def ann_topk_pq_expected(
     sf_dir: str,
     n_queries: int = 8,

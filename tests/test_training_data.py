@@ -475,6 +475,39 @@ def test_embedding_pq_matches_serial_mirror(ray_session):
     assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
 
 
+def test_bpe_train_classic_corpus(ray_session, tmp_path):
+    """The Sennrich et al. example corpus: word freqs low:5 lower:2
+    newest:6 widest:3 → the first merges are (e,s) then (es,t) (count 9
+    each, learned in that order), and ties elsewhere break
+    lexicographically.  Also pins engine == serial mirror."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import bpe_train
+    from osm_wikidata_ray.sources.td_oracle import bpe_train_expected
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    rows = [{"doc_id": 0, "text": text, "lang": "en", "source": "s",
+             "n_chars": len(text)}]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    got = bpe_train(str(tmp_path), n_merges=4, min_count=1).to_pandas()
+    assert (got.loc[0, "left"], got.loc[0, "right"], got.loc[0, "pair_count"]) == ("e", "s", 9)
+    assert (got.loc[1, "left"], got.loc[1, "right"], got.loc[1, "pair_count"]) == ("es", "t", 9)
+    exp = bpe_train_expected(str(tmp_path), n_merges=4, min_count=1)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_bpe_train_matches_serial_mirror(ray_session):
+    """Engine == mirror over the sf0.001 corpus (the driver-oracle dump)."""
+    from osm_wikidata_ray.pipelines.training_data import bpe_train
+    from osm_wikidata_ray.sources.td_oracle import bpe_train_expected
+
+    got = bpe_train(SF).to_pandas().reset_index(drop=True)
+    exp = bpe_train_expected(SF)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_dsir_select_prefers_target_like_docs(ray_session, tmp_path):
     """DSIR importance: docs written in the target domain's vocabulary
     outscore docs from a disjoint vocabulary, even when their own lang tag
