@@ -711,6 +711,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer induction: distributed word count → shared merge
         # loop; serial-mirror dump oracle (mirror recounts independently)
         "bpe_train": lambda sf: td.bpe_train(sf).sort(["rank"]),
+        # zlib redundancy signal (Gopher/RefinedWeb quality-gate family);
+        # DEFLATE is deterministic per (bytes, level) so the mirror is exact
+        "compression_ratio": lambda sf: td.compression_ratio(sf).sort(
+            ["doc_id"]
+        ),
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
         ),
@@ -806,7 +811,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_simhash_clusters", "dedup_embedding_cosine",
             "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
             "embedding_kmeans", "semdedup", "embedding_pq", "ann_topk_pq",
-            "bpe_train",
+            "bpe_train", "compression_ratio",
         )
     }
     return {
@@ -858,6 +863,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT "rank", "left", "right", pair_count
             FROM read_parquet('{td_dumps["bpe_train"]}')
             ORDER BY "rank"
+        """,
+        "compression_ratio": f"""
+            SELECT doc_id, n_raw_bytes, n_zlib_bytes, zlib_ratio
+            FROM read_parquet('{td_dumps["compression_ratio"]}')
+            ORDER BY doc_id
         """,
         "embedding_kmeans": f"""
             SELECT vec_id, cluster, dist

@@ -112,7 +112,7 @@ TRAINING_BENCHES = [
     "doc_stats", "token_counts", "quality", "lang_id", "doc_fingerprint",
     "chunk_docs", "top_ngrams", "stratified_sample", "repetition_stats",
     "contamination_check", "bm25_search", "tfidf_top_terms",
-    "dedup_normalized", "c4_filter", "pii_scrub", "q_retention",
+    "dedup_normalized", "c4_filter", "pii_scrub", "q_retention", "compression_ratio",
     "q_events_sliding", "q_daily_active_users",
     "pack_sequences", "mixture_sample",
     "dedup_exact", "dedup_passages", "dedup_minhash", "dedup_ngram_jaccard",

@@ -3616,6 +3616,44 @@ def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def compression_ratio(sf_dir: str, level: int = 6) -> "ray.data.Dataset":
+    """Per-doc zlib compression ratio — the RefinedWeb/Gopher-family
+    redundancy signal: highly repetitive or boilerplate text compresses
+    far below natural prose, so the ratio is a cheap quality gate next to
+    repetition_stats (MassiveText filters on exactly this family of
+    signals).  Pure vectorized-shape map, no shuffle; the per-row
+    zlib.compress is one C call per document — the same grain as the
+    linkage payload codec.  DEFLATE output is fully determined by
+    (input bytes, level, strategy) for a given zlib build, so the serial
+    mirror (sources/td_oracle.compression_ratio_expected) reproduces the
+    byte counts exactly."""
+    import zlib
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = np.fromiter(
+            (len(t.encode("utf-8")) if t else 0 for t in texts),
+            np.int64, len(texts),
+        )
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), level)) if t else 0
+             for t in texts),
+            np.int64, len(texts),
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_raw_bytes": pa.array(raw, pa.int64()),
+             "n_zlib_bytes": pa.array(comp, pa.int64()),
+             "zlib_ratio": pa.array(
+                 np.round(comp / np.maximum(raw, 1), 4), pa.float64()
+             )}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ratios, batch_format="pyarrow"
+    )
+
+
 def _bpe_merge_loop(
     words: list[str], freqs: np.ndarray, n_merges: int
 ) -> pd.DataFrame:
@@ -3727,6 +3765,7 @@ def bpe_train(
             lambda b: b.filter(pc.greater_equal(b.column("sum(c)"), min_count)),
             batch_format="pyarrow",
         )
+        .materialize()  # keep the freq-cut map out of the sort chain
         .sort(["sum(c)", "w"], descending=[True, False])
         .limit(max_vocab)
         .to_pandas()

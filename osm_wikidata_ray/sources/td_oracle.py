@@ -585,6 +585,32 @@ def embedding_pq_expected(
     return pd.DataFrame(cols)
 
 
+def compression_ratio_expected(sf_dir: str, level: int = 6) -> pd.DataFrame:
+    """Serial mirror of pipelines.training_data.compression_ratio — same
+    zlib level over the same utf-8 bytes, one plain loop."""
+    import zlib
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        raw = len(text.encode("utf-8")) if text else 0
+        comp = len(zlib.compress(text.encode("utf-8"), level)) if text else 0
+        rows.append((doc_id, raw, comp))
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "n_raw_bytes", "n_zlib_bytes"]
+    ).astype("int64")
+    # np.round, not Python round(): the engine rounds with numpy's scaled
+    # half-even, and the two can differ on decimal edge values
+    df["zlib_ratio"] = np.round(
+        df["n_zlib_bytes"].to_numpy(np.float64)
+        / np.maximum(df["n_raw_bytes"].to_numpy(np.float64), 1.0),
+        4,
+    )
+    return df
+
+
 def bpe_train_expected(
     sf_dir: str, n_merges: int = 40, min_count: int = 2
 ) -> pd.DataFrame:

@@ -475,6 +475,31 @@ def test_embedding_pq_matches_serial_mirror(ray_session):
     assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
 
 
+def test_compression_ratio_flags_repetitive_text(ray_session, tmp_path):
+    """The zlib redundancy signal: verbatim-repeated text compresses far
+    below natural prose; engine == serial mirror exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import compression_ratio
+    from osm_wikidata_ray.sources.td_oracle import compression_ratio_expected
+
+    rows = [
+        {"doc_id": 0, "text": "spam " * 400, "lang": "en", "source": "s",
+         "n_chars": 2000},
+        {"doc_id": 1,
+         "text": ("the quick brown fox jumps over a lazy dog while seventy "
+                  "wizards vexed jackdaws quietly near the frozen quay " * 4),
+         "lang": "en", "source": "s", "n_chars": 400},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    df = compression_ratio(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert df.loc[0, "zlib_ratio"] < 0.05 < df.loc[1, "zlib_ratio"]
+    got = compression_ratio(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = compression_ratio_expected(str(tmp_path))
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_bpe_train_classic_corpus(ray_session, tmp_path):
     """The Sennrich et al. example corpus: word freqs low:5 lower:2
     newest:6 widest:3 → the first merges are (e,s) then (es,t) (count 9
