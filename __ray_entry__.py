@@ -716,6 +716,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": lambda sf: td.compression_ratio(sf).sort(
             ["doc_id"]
         ),
+        # integer-exact PageRank over the exact k-NN graph (bit-exact vs
+        # the serial mirror: int64 mass, rational damping, floor divides)
+        "knn_pagerank": lambda sf: td.knn_pagerank(sf).sort(["vec_id"]),
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
         ),
@@ -811,7 +814,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_simhash_clusters", "dedup_embedding_cosine",
             "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
             "embedding_kmeans", "semdedup", "embedding_pq", "ann_topk_pq",
-            "bpe_train", "compression_ratio",
+            "bpe_train", "compression_ratio", "knn_pagerank",
         )
     }
     return {
@@ -868,6 +871,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_raw_bytes, n_zlib_bytes, zlib_ratio
             FROM read_parquet('{td_dumps["compression_ratio"]}')
             ORDER BY doc_id
+        """,
+        "knn_pagerank": f"""
+            SELECT vec_id, pr_mass, pagerank
+            FROM read_parquet('{td_dumps["knn_pagerank"]}')
+            ORDER BY vec_id
         """,
         "embedding_kmeans": f"""
             SELECT vec_id, cluster, dist

@@ -3616,6 +3616,138 @@ def lm_score(sf_dir: str, vocab_size: int = 4096) -> "ray.data.Dataset":
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+_PR_SCALE = 10**12
+_PR_DAMP_NUM, _PR_DAMP_DEN = 17, 20  # damping 0.85 as an exact rational
+
+
+def knn_pagerank(
+    sf_dir: str, k: int = 5, iters: int = 10, use_ivf: bool = False
+) -> "ray.data.Dataset":
+    """PageRank over the exact cosine k-NN graph — centrality of each
+    vector in the similarity structure (exemplar mining: high-rank rows
+    are the vectors many neighborhoods point at; the graph-analytics
+    companion to coreset_select's geometric prototypicality).  All
+    arithmetic is INTEGER: damping is the exact rational 17/20, mass is
+    scaled to _PR_SCALE, every division floors — int64 sums commute, so
+    the distributed loop is bit-exact vs the serial mirror however Ray
+    batches or partitions (embedding_kmeans' trick applied to an
+    iterative graph op).  Per round: one union-merge exchange co-locates
+    pr rows with their node's out-edges (edges pre-bucketed by src ONCE
+    and reused; the bucket also yields out-degrees locally), emitting
+    per-edge contributions plus one presence row per node, then one
+    dst-bucketed sum; plan lineage is cut per round (Ray 2.49
+    materialize() keeps the logical plan and an iterating table doubles
+    the tree per round — stages/clustering.py:363).  Dangling nodes:
+    none by construction, every vector has ≥1 out-edge at n ≥ 2."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+
+    def cut(d: "ray.data.Dataset") -> "ray.data.Dataset":
+        return ray.data.from_arrow_refs(d.to_arrow_refs())
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        n_ = len(b)
+        return pa.table(
+            {"src": b.column("vec_id"), "dst": b.column("neighbor_id"),
+             "pr": pa.array(np.zeros(n_, np.int64), pa.int64()),
+             "is_edge": pa.array(np.ones(n_, bool))}
+        )
+
+    # use_ivf swaps the exact O(n²/chunk) edge builder for the IVF scale
+    # path (same schema, approximate edges) — the 100 TB configuration;
+    # the driver oracle pins the exact default
+    graph = knn_graph_ivf(sf_dir, k=k) if use_ivf else knn_graph(sf_dir, k=k)
+    edges = (
+        graph
+        .select_columns(["vec_id", "neighbor_id"])
+        .map_batches(as_edges, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "src", n_parts), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    edges = cut(edges)  # reused every round — constant plan depth
+
+    n = _read(sf_dir, "embeddings", ["vec_id"]).count()
+    base = (_PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM)) // (_PR_DAMP_DEN * n)
+
+    def init_pr(b: pa.Table) -> pa.Table:
+        n_ = len(b)
+        return pa.table(
+            {"src": b.column("vec_id"),
+             "dst": pa.array(np.full(n_, -1, np.int64), pa.int64()),
+             "pr": pa.array(np.full(n_, _PR_SCALE // n, np.int64), pa.int64()),
+             "is_edge": pa.array(np.zeros(n_, bool))}
+        )
+
+    pr = (
+        _read(sf_dir, "embeddings", ["vec_id"])
+        .map_batches(init_pr, batch_format="pyarrow")
+        .map_batches(
+            lambda b: add_bucket_int(b, "src", n_parts), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    pr = cut(pr)
+
+    def contribs(group: pd.DataFrame) -> pd.DataFrame:
+        is_e = group["is_edge"].to_numpy()
+        prs = group[~is_e]
+        eds = group[is_e]
+        nodes = prs["src"].to_numpy()
+        prv = pd.Series(prs["pr"].to_numpy(), index=nodes)
+        out = [pd.DataFrame({"dst": nodes, "c": np.zeros(len(nodes), np.int64)})]
+        if len(eds):
+            src = eds["src"].to_numpy()
+            deg = pd.Series(src).value_counts()
+            c = (
+                prv.reindex(src).to_numpy(np.int64) * _PR_DAMP_NUM
+            ) // (_PR_DAMP_DEN * deg.reindex(src).to_numpy(np.int64))
+            out.append(pd.DataFrame({"dst": eds["dst"].to_numpy(), "c": c}))
+        return pd.concat(out, ignore_index=True)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        s = group.groupby("dst", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {"src": s.index.to_numpy(np.int64),
+             "dst": np.full(len(s), -1, np.int64),
+             "pr": (base + s.to_numpy(np.int64)).astype(np.int64),
+             "is_edge": np.zeros(len(s), bool)}
+        )
+
+    for _ in range(iters):
+        pr = (
+            edges.union(pr)
+            .groupby("bucket_part", num_partitions=n_parts)
+            .map_groups(contribs, batch_format="pandas")
+            .map_batches(
+                lambda b: add_bucket_int(b, "dst", n_parts),
+                batch_format="pyarrow",
+            )
+            .groupby("bucket_part", num_partitions=n_parts)
+            .map_groups(fold, batch_format="pandas")
+            .map_batches(
+                lambda b: add_bucket_int(b, "src", n_parts),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        pr = cut(pr)
+
+    def finish(b: pa.Table) -> pa.Table:
+        prv = b.column("pr").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vec_id": b.column("src"),
+             "pr_mass": pa.array(prv, pa.int64()),
+             "pagerank": pa.array(
+                 np.round(prv / _PR_SCALE, 8), pa.float64()
+             )}
+        )
+
+    return pr.map_batches(finish, batch_format="pyarrow")
+
+
 def compression_ratio(sf_dir: str, level: int = 6) -> "ray.data.Dataset":
     """Per-doc zlib compression ratio — the RefinedWeb/Gopher-family
     redundancy signal: highly repetitive or boilerplate text compresses

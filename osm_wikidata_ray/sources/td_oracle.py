@@ -585,6 +585,42 @@ def embedding_pq_expected(
     return pd.DataFrame(cols)
 
 
+def knn_pagerank_expected(
+    sf_dir: str, k: int = 5, iters: int = 10
+) -> pd.DataFrame:
+    """Serial mirror of pipelines.training_data.knn_pagerank: the same
+    exact k-NN edges (float64 cosine, (cos desc, id asc) ties, self
+    excluded) and the same integer loop — scaled mass, rational 17/20
+    damping, floor divisions — one numpy pass per iteration."""
+    from ..pipelines.training_data import _PR_DAMP_DEN, _PR_DAMP_NUM, _PR_SCALE
+
+    ids, vecs = _read_embeddings(sf_dir)
+    n = len(ids)
+    vn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-30)
+    sims = vn @ vn.T
+    np.fill_diagonal(sims, -2.0)
+    src_rows, dst_rows = [], []
+    top = min(k, n - 1)
+    for qi in range(n):
+        best = sorted(range(n), key=lambda j: (-sims[qi, j], ids[j]))[:top]
+        src_rows.extend([qi] * len(best))
+        dst_rows.extend(best)
+    src = np.asarray(src_rows, np.int64)
+    dst = np.asarray(dst_rows, np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.int64)
+    base = (_PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM)) // (_PR_DAMP_DEN * n)
+    pr = np.full(n, _PR_SCALE // n, np.int64)
+    for _ in range(iters):
+        c = (pr[src] * _PR_DAMP_NUM) // (_PR_DAMP_DEN * outdeg[src])
+        nxt = np.full(n, base, np.int64)
+        np.add.at(nxt, dst, c)
+        pr = nxt
+    return pd.DataFrame(
+        {"vec_id": ids.astype(np.int64), "pr_mass": pr,
+         "pagerank": np.round(pr / _PR_SCALE, 8)}
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
 def compression_ratio_expected(sf_dir: str, level: int = 6) -> pd.DataFrame:
     """Serial mirror of pipelines.training_data.compression_ratio — same
     zlib level over the same utf-8 bytes, one plain loop."""

@@ -475,6 +475,21 @@ def test_embedding_pq_matches_serial_mirror(ray_session):
     assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
 
 
+def test_knn_pagerank_matches_serial_mirror(ray_session):
+    """The distributed integer PageRank loop (union-merge contributions,
+    dst-bucketed sums, per-round lineage cuts) is bit-exact vs the serial
+    mirror — same scaled mass, same floor divisions — and the total mass
+    stays ≈ 1 (floors only leak downward)."""
+    from osm_wikidata_ray.pipelines.training_data import _PR_SCALE, knn_pagerank
+    from osm_wikidata_ray.sources.td_oracle import knn_pagerank_expected
+
+    got = knn_pagerank(SF, iters=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    exp = knn_pagerank_expected(SF, iters=4)
+    pd.testing.assert_frame_equal(got, exp)
+    total = got["pr_mass"].sum()
+    assert 0.95 * _PR_SCALE < total <= _PR_SCALE
+
+
 def test_compression_ratio_flags_repetitive_text(ray_session, tmp_path):
     """The zlib redundancy signal: verbatim-repeated text compresses far
     below natural prose; engine == serial mirror exactly."""
