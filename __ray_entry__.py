@@ -719,6 +719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact PageRank over the exact k-NN graph (bit-exact vs
         # the serial mirror: int64 mass, rational damping, floor divides)
         "knn_pagerank": lambda sf: td.knn_pagerank(sf).sort(["vec_id"]),
+        # distributed exact PCA (integer sufficient statistics + shared
+        # eigen/projection kernels — bit-exact vs the serial mirror)
+        "embedding_pca": lambda sf: td.embedding_pca(sf).sort(["vec_id"]),
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
         ),
@@ -815,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
             "embedding_kmeans", "semdedup", "embedding_pq", "ann_topk_pq",
             "bpe_train", "compression_ratio", "knn_pagerank",
+            "embedding_pca",
         )
     }
     return {
@@ -875,6 +879,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_pagerank": f"""
             SELECT vec_id, pr_mass, pagerank
             FROM read_parquet('{td_dumps["knn_pagerank"]}')
+            ORDER BY vec_id
+        """,
+        "embedding_pca": f"""
+            SELECT * FROM read_parquet('{td_dumps["embedding_pca"]}')
             ORDER BY vec_id
         """,
         "embedding_kmeans": f"""

@@ -4384,6 +4384,114 @@ def embedding_kmeans(
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def _pca_reduce(
+    sxx: np.ndarray, sx: np.ndarray, n: int, n_components: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mu, W) from the EXACT integer sufficient statistics — Σqqᵀ (d, d)
+    and Σq (d,) int64 — shared by the engine driver-reduce and the serial
+    mirror, so both eigendecompose the bit-identical float64 covariance.
+    Sign convention: each eigenvector is flipped so its largest-|x|
+    element (first on tie) is positive — eigh's sign is otherwise
+    arbitrary."""
+    mu = sx.astype(np.float64) / n
+    cov = (sxx.astype(np.float64) - np.outer(mu, sx.astype(np.float64))) / (
+        n - 1
+    )
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals, kind="stable")[::-1][:n_components]
+    w = vecs[:, order]
+    for c in range(w.shape[1]):
+        j = int(np.argmax(np.abs(w[:, c])))
+        if w[j, c] < 0:
+            w[:, c] = -w[:, c]
+    return mu, w
+
+
+def _pca_project(q: np.ndarray, mu: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """(n, c) projections of quantized rows onto the components, in
+    ORIGINAL embedding units, rounded to 8 dp.  The j-loop fixes the
+    summation order of every dot product (BLAS gemm reorders accumulation
+    by block shape, so a per-batch engine matmul and the mirror's
+    whole-corpus matmul could disagree in the last ulp); per-element
+    float64 ops on identical inputs are identical everywhere."""
+    centered = q.astype(np.float64) - mu
+    out = np.zeros((len(q), w.shape[1]), dtype=np.float64)
+    for j in range(w.shape[0]):
+        out += centered[:, j : j + 1] * w[j]
+    return np.round(out / _KM_SCALE, 8)
+
+
+def embedding_pca(sf_dir: str, n_components: int = 4) -> "ray.data.Dataset":
+    """Distributed exact PCA over the embeddings table — the
+    dimensionality-reduction primitive of dataset curation (whitening
+    before clustering, low-d visualization, variance-based feature
+    pruning).  Two corpus passes, NO shuffle:
+
+    - pass 1 emits per-batch integer sufficient statistics of the
+      2^20-quantized vectors (n, Σq, flattened Σqqᵀ — d²+d+1 int64s per
+      batch); int64 sums commute, so the driver-reduced totals are
+      bit-exact however Ray batches the corpus (exact up to ~2^62/q²max
+      ≈ 10^9 unit-norm rows; per-batch partials never overflow);
+    - the driver eigendecomposes the tiny (d, d) covariance once
+      (_pca_reduce, shared with the serial mirror) and broadcasts
+      (mu, W) via ray.put;
+    - pass 2 projects every vector through the fixed-summation-order
+      kernel _pca_project (per-process broadcast cache, task stage).
+
+    Mirrored serially by td_oracle.embedding_pca_expected via the SAME
+    two kernels — the bit-exactness contract is kernel identity, as in
+    semdedup."""
+    from ..util import list_column_to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    part_schema = pa.schema(
+        [("n", pa.int64()), ("sx", pa.list_(pa.int64())),
+         ("sxx", pa.list_(pa.int64()))]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _km_quantize(list_column_to_matrix(batch.column("embedding")))
+        sxx = np.einsum("ij,ik->jk", q, q)  # int64-exact, no BLAS
+        return pa.table(
+            {"n": pa.array([len(q)], pa.int64()),
+             "sx": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
+             "sxx": pa.array([sxx.ravel().tolist()], pa.list_(pa.int64()))},
+            schema=part_schema,
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx = np.sum(np.stack(parts["sx"].to_numpy()), axis=0, dtype=np.int64)
+    d = len(sx)
+    sxx = np.sum(
+        np.stack(parts["sxx"].to_numpy()), axis=0, dtype=np.int64
+    ).reshape(d, d)
+    mu, w = _pca_reduce(sxx, sx, n, n_components)
+    state_ref = ray.put((mu, w))
+
+    out_schema = pa.schema(
+        [("vec_id", pa.int64())]
+        + [(f"pc{c}", pa.float64()) for c in range(n_components)]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        state = _enrich_cache.get(state_ref.hex())
+        if state is None:
+            state = ray.get(state_ref)
+            _enrich_cache.clear()
+            _enrich_cache[state_ref.hex()] = state
+        mu_, w_ = state
+        q = _km_quantize(list_column_to_matrix(batch.column("embedding")))
+        p = _pca_project(q, mu_, w_)
+        cols = {"vec_id": pc.cast(batch.column("vec_id"), pa.int64())}
+        for c in range(w_.shape[1]):
+            cols[f"pc{c}"] = pa.array(p[:, c], pa.float64())
+        return pa.table(cols, schema=out_schema)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 # row-slab width for semdedup's in-cluster cosine pass: peak memory per
 # group is slab × |cluster| float64 (≈0.5 GB at a 32k-row cluster) instead
 # of the |cluster|² dense matrix (8 GB there).  The SHARED kernel is the

@@ -621,6 +621,31 @@ def knn_pagerank_expected(
     ).sort_values("vec_id").reset_index(drop=True)
 
 
+def embedding_pca_expected(sf_dir: str, n_components: int = 4) -> pd.DataFrame:
+    """Serial mirror of pipelines.training_data.embedding_pca: the same
+    integer sufficient statistics (whole corpus in one int64 matmul) fed
+    through the SAME kernels (_pca_reduce eigendecomposition + sign fix,
+    _pca_project fixed-summation-order projection) — kernel identity is
+    the bit-exactness contract."""
+    from ..pipelines.training_data import (
+        _km_quantize,
+        _pca_project,
+        _pca_reduce,
+    )
+
+    ids, vecs = _read_embeddings(sf_dir)
+    q = _km_quantize(vecs)
+    sxx = q.T @ q  # int64-exact
+    mu, w = _pca_reduce(sxx, q.sum(axis=0), len(q), n_components)
+    p = _pca_project(q, mu, w)
+    cols = {"vec_id": ids.astype(np.int64)}
+    for c in range(w.shape[1]):
+        cols[f"pc{c}"] = p[:, c]
+    return (
+        pd.DataFrame(cols).sort_values("vec_id").reset_index(drop=True)
+    )
+
+
 def compression_ratio_expected(sf_dir: str, level: int = 6) -> pd.DataFrame:
     """Serial mirror of pipelines.training_data.compression_ratio — same
     zlib level over the same utf-8 bytes, one plain loop."""

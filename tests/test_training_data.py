@@ -475,6 +475,25 @@ def test_embedding_pq_matches_serial_mirror(ray_session):
     assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
 
 
+def test_embedding_pca_matches_serial_mirror(ray_session):
+    """Distributed integer sufficient statistics + shared eigen/projection
+    kernels == the serial mirror bit-for-bit; components come out in
+    descending-variance order."""
+    from osm_wikidata_ray.pipelines.training_data import embedding_pca
+    from osm_wikidata_ray.sources.td_oracle import embedding_pca_expected
+
+    got = (
+        embedding_pca(SF, n_components=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = embedding_pca_expected(SF, n_components=3)
+    pd.testing.assert_frame_equal(got, exp)
+    v = got[["pc0", "pc1", "pc2"]].var()
+    assert v["pc0"] >= v["pc1"] >= v["pc2"]
+
+
 def test_knn_pagerank_matches_serial_mirror(ray_session):
     """The distributed integer PageRank loop (union-merge contributions,
     dst-bucketed sums, per-round lineage cuts) is bit-exact vs the serial
