@@ -722,6 +722,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed exact PCA (integer sufficient statistics + shared
         # eigen/projection kernels — bit-exact vs the serial mirror)
         "embedding_pca": lambda sf: td.embedding_pca(sf).sort(["vec_id"]),
+        # near-dup test-set contamination (MinHash bands, in-bucket verify)
+        "contamination_fuzzy": lambda sf: td.contamination_fuzzy(sf).sort(
+            ["doc_id"]
+        ),
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
         ),
@@ -818,7 +822,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
             "embedding_kmeans", "semdedup", "embedding_pq", "ann_topk_pq",
             "bpe_train", "compression_ratio", "knn_pagerank",
-            "embedding_pca",
+            "embedding_pca", "contamination_fuzzy",
         )
     }
     return {
@@ -884,6 +888,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": f"""
             SELECT * FROM read_parquet('{td_dumps["embedding_pca"]}')
             ORDER BY vec_id
+        """,
+        "contamination_fuzzy": f"""
+            SELECT doc_id, est_jaccard
+            FROM read_parquet('{td_dumps["contamination_fuzzy"]}')
+            ORDER BY doc_id
         """,
         "embedding_kmeans": f"""
             SELECT vec_id, cluster, dist

@@ -4876,6 +4876,123 @@ def contamination_check(
     )
 
 
+# per band bucket, the heldout side collapses to ≤ this many distinct
+# signatures (lexicographic-sig order, deterministic) before the cross
+# verify — bounds the in-bucket product under adversarial skew.  Recall
+# cost is disclosed, and mitigated by the 16 independent bands (a pair
+# dropped in one bucket usually recurs in another).
+CONTAM_FUZZY_HELDOUT_REP_CAP = 256
+_CONTAM_FUZZY_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("est", pa.float64())]
+)
+
+
+def contamination_fuzzy(
+    sf_dir: str, threshold: float = 0.5,
+    heldout_mod: int = 10, heldout_rem: int = 7, n_shingle: int = 3,
+) -> "ray.data.Dataset":
+    """NEAR-duplicate test-set contamination: training docs whose
+    estimated MinHash Jaccard against ANY heldout doc (doc_id %
+    heldout_mod == heldout_rem) reaches ``threshold`` — the fuzzy
+    companion to contamination_check's exact 8-gram scan (GPT-3/Llama
+    report decontaminating by near-dup overlap precisely because light
+    paraphrase defeats exact n-gram matching).  Returns one row per
+    contaminated TRAIN doc: (doc_id, est_jaccard = max over heldout
+    matches, rounded to 6 dp — estimates are multiples of 1/64 so the
+    rounding is exact).
+
+    Scale shape (the sanctioned cluster-op exception to the thin-shuffle
+    rule, as in dedup_minhash_clusters): 512-byte signatures ride the
+    16-band exchange so the verify runs IN-BUCKET and only verified
+    (train doc, est) rows leave — O(corpus × bands × 512 B) exchange,
+    never O(candidate pairs).  Per band bucket each SIDE collapses to
+    one representative per distinct full signature (byte equality — no
+    hash-collision caveat here, the sigs are present), so a 100-way
+    verbatim duplicate family verifies once; train members inherit
+    their rep's verdict in-bucket; the heldout side caps at
+    CONTAM_FUZZY_HELDOUT_REP_CAP distinct signatures per bucket
+    (disclosed recall bound under adversarial bucket skew).  A final
+    thin (doc_id, est) max-groupby dedups across bands.  Mirrored
+    serially by td_oracle.contamination_fuzzy_expected."""
+    from ..stages.blocking import add_bucket_int
+
+    n_parts = default_partitions()
+    sigs_ds = minhash_signatures(sf_dir, n_shingle)
+    bands = minhash_bands(sigs_ds, with_sig=True)
+
+    def bucket_fn(group: pd.DataFrame) -> pa.Table:
+        if group.empty:
+            return _CONTAM_FUZZY_SCHEMA.empty_table()
+        bk = group["band_key"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        sig = group["sig"].to_numpy()
+        order = np.lexsort((ids, bk))
+        bk, ids, sig = bk[order], ids[order], sig[order]
+        keep = _run_starts(bk, ids)  # a doc appears once per band
+        bk, ids, sig = bk[keep], ids[keep], sig[keep]
+        out_ids: list[np.ndarray] = [np.empty(0, np.int64)]
+        out_est: list[np.ndarray] = [np.empty(0, np.float64)]
+        starts = np.flatnonzero(_run_starts(bk))
+        ends = np.append(starts[1:], len(bk))
+        for s, e in zip(starts, ends):
+            bids = ids[s:e]
+            bsig = sig[s:e]
+            held = bids % heldout_mod == heldout_rem
+            if not held.any() or held.all():
+                continue
+            h_keys = sorted(set(bsig[held]))[:CONTAM_FUZZY_HELDOUT_REP_CAP]
+            h_mat = np.frombuffer(b"".join(h_keys), dtype=np.uint64).reshape(
+                len(h_keys), _MINHASH_PERMS
+            )
+            t_ids = bids[~held]
+            t_sig = bsig[~held]
+            # train families: distinct signatures in lexicographic order
+            t_keys, t_fam = np.unique(t_sig, return_inverse=True)
+            t_mat = np.frombuffer(
+                b"".join(t_keys), dtype=np.uint64
+            ).reshape(len(t_keys), _MINHASH_PERMS)
+            # (t_fams, h_reps) estimated Jaccard, slabbed over train fams
+            best = np.empty(len(t_keys), np.float64)
+            for lo in range(0, len(t_keys), 1024):
+                hi = min(lo + 1024, len(t_keys))
+                est = (
+                    t_mat[lo:hi, None, :] == h_mat[None, :, :]
+                ).mean(axis=2)
+                best[lo:hi] = est.max(axis=1)
+            ok = best >= threshold
+            hit = ok[t_fam]  # expand to family members
+            if hit.any():
+                out_ids.append(t_ids[hit].astype(np.int64))
+                out_est.append(np.round(best[t_fam][hit], 6))
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+             "est": pa.array(np.concatenate(out_est), pa.float64())},
+            schema=_CONTAM_FUZZY_SCHEMA,
+        )
+
+    hits = (
+        bands.map_batches(
+            lambda b: add_bucket_int(b, "band_key", n_parts * 4),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket_part", num_partitions=n_parts)
+        .map_groups(bucket_fn, batch_format="pandas")
+        .materialize()  # barrier between the two all-to-alls
+    )
+    agg = hits.groupby("doc_id", num_partitions=n_parts).max("est")
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("est_jaccard", pa.float64())]
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+             "est_jaccard": b.column("max(est)")},
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style intra-document repetition signals (Rae et al. 2021,
     table A1: repetitious documents are low-quality training data): token

@@ -621,6 +621,58 @@ def knn_pagerank_expected(
     ).sort_values("vec_id").reset_index(drop=True)
 
 
+def contamination_fuzzy_expected(
+    sf_dir: str, threshold: float = 0.5,
+    heldout_mod: int = 10, heldout_rem: int = 7,
+) -> pd.DataFrame:
+    """Serial mirror of pipelines.training_data.contamination_fuzzy: the
+    same signatures and band buckets, per-side collapse to distinct full
+    signatures, the heldout side capped at CONTAM_FUZZY_HELDOUT_REP_CAP
+    reps in lexicographic-sig order, cross estimated-Jaccard ≥ threshold,
+    max per train doc."""
+    from ..pipelines.training_data import (
+        _MINHASH_PERMS,
+        CONTAM_FUZZY_HELDOUT_REP_CAP,
+    )
+
+    doc_ids, texts = _read_docs(sf_dir)
+    sigs = {
+        did: _doc_minhash(_doc_shingle_hashes(t))
+        for did, t in zip(doc_ids, texts)
+    }
+    buckets: defaultdict[tuple[int, int], list[int]] = defaultdict(list)
+    for did in doc_ids:
+        for bk in _band_keys(sigs[did]):
+            buckets[bk].append(did)
+    best: dict[int, float] = {}
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        t_side = [i for i in ids if i % heldout_mod != heldout_rem]
+        h_side = [i for i in ids if i % heldout_mod == heldout_rem]
+        if not t_side or not h_side:
+            continue
+        h_keys = sorted({sigs[i].tobytes() for i in h_side})[
+            :CONTAM_FUZZY_HELDOUT_REP_CAP
+        ]
+        h_mat = np.frombuffer(b"".join(h_keys), dtype=np.uint64).reshape(
+            len(h_keys), _MINHASH_PERMS
+        )
+        fam_best: dict[bytes, float] = {}
+        for i in t_side:
+            key = sigs[i].tobytes()
+            e = fam_best.get(key)
+            if e is None:
+                tm = np.frombuffer(key, dtype=np.uint64)
+                e = round(float((tm[None, :] == h_mat).mean(axis=1).max()), 6)
+                fam_best[key] = e
+            if e >= threshold:
+                best[i] = max(best.get(i, 0.0), e)
+    out = pd.DataFrame(
+        {"doc_id": sorted(best), "est_jaccard": [best[i] for i in sorted(best)]}
+    )
+    return out.astype({"doc_id": "int64", "est_jaccard": "float64"})
+
+
 def embedding_pca_expected(sf_dir: str, n_components: int = 4) -> pd.DataFrame:
     """Serial mirror of pipelines.training_data.embedding_pca: the same
     integer sufficient statistics (whole corpus in one int64 matmul) fed

@@ -475,6 +475,26 @@ def test_embedding_pq_matches_serial_mirror(ray_session):
     assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
 
 
+def test_contamination_fuzzy_matches_serial_mirror(ray_session):
+    """Near-dup contamination (band exchange with in-bucket verify +
+    per-side signature collapse) == the serial mirror exactly; every hit
+    is a train-side doc with a sane estimate."""
+    from osm_wikidata_ray.pipelines.training_data import contamination_fuzzy
+    from osm_wikidata_ray.sources.td_oracle import contamination_fuzzy_expected
+
+    got = (
+        contamination_fuzzy(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = contamination_fuzzy_expected(SF)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0  # the synthetic corpus plants cross-side near-dups
+    assert (got["doc_id"] % 10 != 7).all()
+    assert ((got["est_jaccard"] > 0) & (got["est_jaccard"] <= 1)).all()
+
+
 def test_embedding_pca_matches_serial_mirror(ray_session):
     """Distributed integer sufficient statistics + shared eigen/projection
     kernels == the serial mirror bit-for-bit; components come out in
