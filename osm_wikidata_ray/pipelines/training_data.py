@@ -3621,7 +3621,8 @@ _PR_DAMP_NUM, _PR_DAMP_DEN = 17, 20  # damping 0.85 as an exact rational
 
 
 def knn_pagerank(
-    sf_dir: str, k: int = 5, iters: int = 10, use_ivf: bool = False
+    sf_dir: str, k: int = 5, iters: int = 10, use_ivf: bool = False,
+    n_lists: "int | None" = None, n_probe: "int | None" = None,
 ) -> "ray.data.Dataset":
     """PageRank over the exact cosine k-NN graph — centrality of each
     vector in the similarity structure (exemplar mining: high-rank rows
@@ -3675,8 +3676,20 @@ def knn_pagerank(
 
     # use_ivf swaps the exact O(n²/chunk) edge builder for the IVF scale
     # path (same schema, approximate edges) — the 100 TB configuration;
-    # the driver oracle pins the exact default
-    graph = knn_graph_ivf(sf_dir, k=k) if use_ivf else knn_graph(sf_dir, k=k)
+    # the driver oracle pins the exact default.  knn_graph_ivf's OWN
+    # defaults (32 lists / 20 probes — a 62.5 % probe fraction chosen for
+    # small-corpus recall) are near-exact COST at scale, so unless the
+    # caller pins them the IVF params here size to the corpus: ~4k
+    # vectors per list (500k → 125 lists, the stress-proven regime) with
+    # an 8-list probe — measured 407 s → 57 s for the 500k edge build.
+    if use_ivf:
+        if n_lists is None:
+            n_lists = max(32, min(1024, n // 4000))
+        if n_probe is None:
+            n_probe = 20 if n_lists <= 32 else 8
+        graph = knn_graph_ivf(sf_dir, k=k, n_lists=n_lists, n_probe=n_probe)
+    else:
+        graph = knn_graph(sf_dir, k=k)
     edges = (
         graph
         .select_columns(["vec_id", "neighbor_id"])
