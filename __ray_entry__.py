@@ -726,6 +726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_fuzzy": lambda sf: td.contamination_fuzzy(sf).sort(
             ["doc_id"]
         ),
+        # induced-tokenizer token budget (bpe_train merges applied back)
+        "bpe_encode": lambda sf: td.bpe_encode(sf).sort(["doc_id"]),
         "q_group_topk": lambda sf: td.group_topk(sf).sort(
             ["source", "doc_id"]
         ),
@@ -822,7 +824,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_topk_ivf", "knn_graph_ivf", "doc_fingerprint",
             "embedding_kmeans", "semdedup", "embedding_pq", "ann_topk_pq",
             "bpe_train", "compression_ratio", "knn_pagerank",
-            "embedding_pca", "contamination_fuzzy",
+            "embedding_pca", "contamination_fuzzy", "bpe_encode",
         )
     }
     return {
@@ -892,6 +894,11 @@ def oracle_sql() -> dict[str, str]:
         "contamination_fuzzy": f"""
             SELECT doc_id, est_jaccard
             FROM read_parquet('{td_dumps["contamination_fuzzy"]}')
+            ORDER BY doc_id
+        """,
+        "bpe_encode": f"""
+            SELECT doc_id, n_tokens
+            FROM read_parquet('{td_dumps["bpe_encode"]}')
             ORDER BY doc_id
         """,
         "embedding_kmeans": f"""

@@ -3949,6 +3949,109 @@ def bpe_train(
     return rd.from_pandas(merges)
 
 
+def _bpe_apply_len(word: str, ranks: "dict[tuple[str, str], int]") -> int:
+    """Symbol count of one word encoded with the learned merges — the
+    canonical BPE apply (HF/SentencePiece shape): repeatedly merge the
+    LOWEST-rank adjacent pair present (all its occurrences, greedy
+    left-to-right non-overlapping) until none applies.  Shared by the
+    engine and the serial mirror — kernel identity is the exactness
+    contract."""
+    seq = list(word)
+    while len(seq) > 1:
+        best_rank = -1
+        best_l = best_r = ""
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank < 0 or r < best_rank):
+                best_rank, best_l, best_r = r, seq[i], seq[i + 1]
+        if best_rank < 0:
+            break
+        out = []
+        i = 0
+        while i < len(seq):
+            if (
+                i < len(seq) - 1
+                and seq[i] == best_l
+                and seq[i + 1] == best_r
+            ):
+                out.append(best_l + best_r)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return len(seq)
+
+
+_bpe_word_cache: dict = {}
+
+
+def bpe_encode(
+    sf_dir: str, n_merges: int = 40, min_count: int = 2,
+    max_vocab: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Token counts per doc under the INDUCED tokenizer — bpe_train's
+    merges applied back to the corpus (the token-budget accounting a
+    trainer does right after inducing its vocabulary).  Returns
+    (doc_id, n_tokens): the summed symbol count of every word after the
+    canonical lowest-rank-first BPE apply.
+
+    Scale shape: the trainer's one distinct-word-bounded exchange runs
+    first; the tiny merge table (n_merges rows) broadcasts via ray.put;
+    the apply pass is a task-stage map with the Python-per-word loop
+    bounded by DISTINCT words per batch behind a per-process cache keyed
+    to the broadcast (natural text repeats words heavily — the
+    _word_buckets/_dsir pattern; cache cleared at 500k entries)."""
+    merges = bpe_train(sf_dir, n_merges, min_count, max_vocab).to_pandas()
+    merges = merges.sort_values("rank")
+    ranks = {
+        (l, r): int(k)
+        for k, (l, r) in zip(
+            merges["rank"].to_numpy(), zip(merges["left"], merges["right"])
+        )
+    }
+    ranks_ref = ray.put(ranks)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        state = _bpe_word_cache.get("state")
+        if state is None or state[0] != ranks_ref.hex():
+            state = (ranks_ref.hex(), ray.get(ranks_ref), {})
+            _bpe_word_cache.clear()
+            _bpe_word_cache["state"] = state
+        _, rk, wcache = state
+        toks = pc.split_pattern_regex(
+            _ws_trim(pc.utf8_lower(batch.column("text"))), r"\s+"
+        )
+        words = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        ws = pd.Series(words.to_pandas()[keep])
+        lens = np.zeros(len(ws), np.int64)
+        uniq = ws.unique()
+        vals = {}
+        for w in uniq:
+            n_ = wcache.get(w)
+            if n_ is None:
+                n_ = _bpe_apply_len(w, rk)
+                if len(wcache) > 500_000:
+                    wcache.clear()
+                wcache[w] = n_
+            vals[w] = n_
+        lens = ws.map(vals).to_numpy(np.int64)
+        per_doc = np.zeros(len(batch), np.int64)
+        np.add.at(per_doc, parents[keep], lens)
+        return pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+             "n_tokens": pa.array(per_doc, pa.int64())},
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
 _dsir_bucket_cache: dict = {}
 
 

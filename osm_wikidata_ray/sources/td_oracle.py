@@ -621,6 +621,47 @@ def knn_pagerank_expected(
     ).sort_values("vec_id").reset_index(drop=True)
 
 
+def bpe_encode_expected(
+    sf_dir: str, n_merges: int = 40, min_count: int = 2
+) -> pd.DataFrame:
+    """Serial mirror of pipelines.training_data.bpe_encode: the mirror's
+    own merge table (bpe_train_expected — independent word recount feeding
+    the shared loop) applied back through the SHARED _bpe_apply_len
+    kernel, one plain pass over the docs."""
+    from ..pipelines.training_data import TRIM_PATTERN, _bpe_apply_len
+
+    merges = bpe_train_expected(sf_dir, n_merges, min_count)
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    import pyarrow.compute as pc_
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    trimmed = pc_.replace_substring_regex(
+        pc_.utf8_lower(t.column("text")), TRIM_PATTERN, ""
+    )
+    # the SAME Arrow RE2 tokenizer as the engine (Python str.split would
+    # diverge on Unicode whitespace)
+    toks = pc_.split_pattern_regex(trimmed, r"\s+")
+    doc_ids = t.column("doc_id").to_pylist()
+    cache: dict[str, int] = {}
+    rows = []
+    for did, words in zip(doc_ids, toks.to_pylist()):
+        total = 0
+        for w in words or []:
+            if w == "":
+                continue
+            n = cache.get(w)
+            if n is None:
+                n = _bpe_apply_len(w, ranks)
+                cache[w] = n
+            total += n
+        rows.append((int(did), total))
+    out = pd.DataFrame(rows, columns=["doc_id", "n_tokens"])
+    return out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+
 def contamination_fuzzy_expected(
     sf_dir: str, threshold: float = 0.5,
     heldout_mod: int = 10, heldout_rem: int = 7,

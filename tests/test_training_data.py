@@ -475,6 +475,24 @@ def test_embedding_pq_matches_serial_mirror(ray_session):
     assert (got["err"] >= 0).all() and np.isfinite(got["err"]).all()
 
 
+def test_bpe_encode_matches_serial_mirror(ray_session):
+    """Applying the induced merges back to the corpus (broadcast ranks,
+    per-distinct-word cached apply) == the serial mirror exactly; merging
+    can only shrink the whitespace token count's char total."""
+    from osm_wikidata_ray.pipelines.training_data import bpe_encode
+    from osm_wikidata_ray.sources.td_oracle import bpe_encode_expected
+
+    got = (
+        bpe_encode(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = bpe_encode_expected(SF)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["n_tokens"] >= 0).all() and got["n_tokens"].sum() > 0
+
+
 def test_contamination_fuzzy_matches_serial_mirror(ray_session):
     """Near-dup contamination (band exchange with in-bucket verify +
     per-side signature collapse) == the serial mirror exactly; every hit
