@@ -500,11 +500,13 @@ def _media_features(sf_dir: str):
 
 def _media_features_mixed(sf_dir: str):
     """Heterogeneous-corpus decode posture: payload format cycles by
-    span offset % 4 (PPM / PNG / JPEG-unsupported / corrupt), every row
-    survives with a status.  The oracle derives status+dims from the
-    offset alone; the engine must actually decode the PPM/PNG rows to
-    produce matching width/height (wrong parse or a leaked exception
-    mismatches)."""
+    span offset % 4 (PPM / PNG / baseline JPEG / undecodable, where the
+    undecodable slot alternates corrupt bytes and a PROGRESSIVE JPEG by
+    offset % 8), every row survives with a status.  The oracle derives
+    status+dims from the offset alone; the engine must actually decode
+    the PPM/PNG/JPEG rows — the JPEG through its own T.81 baseline codec
+    (pipelines/jpeg.py) — to produce matching width/height (wrong parse
+    or a leaked exception mismatches)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1010,20 +1012,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.kind = 'media' ORDER BY media_id
         """,
         # heterogeneous decode: the payload format cycles by offset % 4
-        # (PPM 8×8 / PNG 7×5 / JPEG / corrupt), so status+dims are pure
-        # SQL over the span offsets — the engine side must decode the
-        # PPM/PNG rows for real to match the dims
+        # (PPM 8×8 / PNG 7×5 / baseline JPEG 9×6 / undecodable, the last
+        # alternating corrupt bytes and progressive JPEG by offset % 8),
+        # so status+dims are pure SQL over the span offsets — the engine
+        # side must decode the PPM/PNG/JPEG rows for real to match dims
         "media_features_mixed": f"""
             WITH su AS (SELECT doc_id, unnest(spans) AS s
                         FROM read_parquet({dump}))
             SELECT doc_id || '#' || s."offset" AS media_id,
-                   CASE s."offset" % 4
-                     WHEN 2 THEN 'unsupported'
-                     WHEN 3 THEN 'corrupt' ELSE 'ok' END AS status,
+                   CASE WHEN s."offset" % 4 < 3 THEN 'ok'
+                        WHEN s."offset" % 8 = 3 THEN 'corrupt'
+                        ELSE 'unsupported' END AS status,
                    (CASE s."offset" % 4
-                     WHEN 0 THEN 8 WHEN 1 THEN 7 ELSE -1 END)::BIGINT AS width,
+                     WHEN 0 THEN 8 WHEN 1 THEN 7 WHEN 2 THEN 9
+                     ELSE -1 END)::BIGINT AS width,
                    (CASE s."offset" % 4
-                     WHEN 0 THEN 8 WHEN 1 THEN 5 ELSE -1 END)::BIGINT AS height
+                     WHEN 0 THEN 8 WHEN 1 THEN 5 WHEN 2 THEN 6
+                     ELSE -1 END)::BIGINT AS height
             FROM su WHERE s.kind = 'media' ORDER BY media_id
         """,
         # real WAV decode: expected features computed serially through the

@@ -7,12 +7,14 @@ feature-extract, resize, frame-sample.
 
 The decode kernel is REAL for the netpbm formats (binary PPM/PGM — parsed
 in pure Python/numpy, no codec libraries needed), for baseline PNG
-(stdlib zlib inflate + scanline unfilter + numpy — see decode_png) AND for
+(stdlib zlib inflate + scanline unfilter + numpy — see decode_png), for
+baseline-sequential JPEG (own spec-complete T.81 codec, pipelines/jpeg.py:
+streamed DQT/DHT tables, 4:4:4 / 4:2:0, restart markers) AND for
 RIFF/WAVE PCM audio (struct chunk walk + numpy — see decode_wav): magic
-sniff → header parse → pixel/sample matrix → features.  Only
-codec-library formats (JPEG, compressed audio) raise NotImplementedError
-with a clear message (``fake=True`` substitutes a deterministic
-pseudo-decoder for testing that path's plumbing).
+sniff → header parse → pixel/sample matrix → features.  Only genuinely
+codec-library formats (progressive/arithmetic JPEG, compressed audio)
+raise NotImplementedError with a clear message (``fake=True`` substitutes
+a deterministic pseudo-decoder for testing that path's plumbing).
 """
 
 from __future__ import annotations
@@ -248,11 +250,12 @@ class MediaDecoder:
     """Actor-pool decode stage: map_batches(MediaDecoder, concurrency=N,
     batch_size=small) — small batches because decoded frames are large.
 
-    Decodes binary PPM/PGM payloads for real (magic-sniffed); other image
-    formats raise NotImplementedError (codec libraries absent in this
-    container) unless ``fake=True`` substitutes a deterministic
-    pseudo-decoder.  Output: per-media feature vector = column means of the
-    block-mean-resized grayscale image."""
+    Decodes binary PPM/PGM, baseline PNG and baseline-sequential JPEG
+    payloads for real (magic-sniffed; JPEG via the module's own T.81
+    codec, pipelines/jpeg.py); genuinely codec-library variants
+    (progressive JPEG, …) raise NotImplementedError unless ``fake=True``
+    substitutes a deterministic pseudo-decoder.  Output: per-media feature
+    vector = column means of the block-mean-resized grayscale image."""
 
     OUT_SCHEMA = pa.schema(
         [("media_id", pa.string()), ("width", pa.int32()),
@@ -284,15 +287,23 @@ class MediaDecoder:
             elif img.ndim == 3 and img.shape[2] == 2:  # gray+alpha → gray
                 img = img[:, :, 0]
             return img
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI
+            from .jpeg import decode_jpeg
+
+            # baseline-sequential decode (own T.81 codec); progressive /
+            # arithmetic variants raise NotImplementedError from inside,
+            # which non-strict mode flags 'unsupported' per row
+            return decode_jpeg(payload)
         if self.fake:
             seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
             rng = np.random.RandomState(seed % (2**31))
             return rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
         raise NotImplementedError(
-            "only binary netpbm (PPM/PGM) and baseline PNG image decode in "
-            "this container (WAV audio decodes via decode_wav/AudioFeatures); "
-            "JPEG needs codec libraries — construct with fake=True to "
-            "exercise the plumbing with a deterministic stub decoder"
+            "unrecognized image payload: binary netpbm (PPM/PGM), baseline "
+            "PNG and baseline-sequential JPEG decode in this container (WAV "
+            "audio decodes via decode_wav/AudioFeatures) — construct with "
+            "fake=True to exercise the plumbing with a deterministic stub "
+            "decoder"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -430,11 +441,15 @@ def media_features(
 def mixed_media_table_from_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Heterogeneous media table: per media span, the payload format cycles
     by ``offset % 4`` — 0: binary PPM (8×8), 1: baseline PNG (7×5 RGB),
-    2: a JPEG payload (SOI/JFIF magic — codec-library format), 3: corrupt
-    bytes (netpbm magic, garbage header).  Deterministic, and the format
-    choice is SQL-derivable from the span offset so the mixed-format
-    oracle needs no dump (the real check is that the engine actually
-    decodes the PPM/PNG rows: wrong dims or a leaked exception mismatch)."""
+    2: baseline JPEG (9×6 RGB, encoded by the engine's own T.81 codec),
+    3: undecodable — alternating corrupt bytes (netpbm magic, garbage
+    header; ``offset % 8 == 3``) and a PROGRESSIVE JPEG (SOF2 — the
+    genuinely codec-library variant; ``offset % 8 == 7``).  Deterministic,
+    and the format choice is SQL-derivable from the span offset so the
+    mixed-format oracle needs no dump (the real check is that the engine
+    actually decodes the PPM/PNG/JPEG rows: wrong dims or a leaked
+    exception mismatch)."""
+    from .jpeg import encode_jpeg
 
     def extract(batch: pa.Table) -> pa.Table:
         out: dict[str, list[Any]] = {n: [] for n in MEDIA_SCHEMA.names}
@@ -457,9 +472,21 @@ def mixed_media_table_from_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                         rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
                     )
                 elif k == 2:
-                    payload = b"\xff\xd8\xff\xe0\x00\x10JFIF" + rng.bytes(16)
-                else:
+                    payload = encode_jpeg(
+                        rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8),
+                        quality=85,
+                    )
+                elif s["offset"] % 8 == 3:
                     payload = b"P6 not-a-number " + rng.bytes(8)
+                else:  # offset % 8 == 7: progressive JPEG (SOF0 → SOF2)
+                    prog = bytearray(
+                        encode_jpeg(
+                            rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8),
+                            quality=85,
+                        )
+                    )
+                    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+                    payload = bytes(prog)
                 out["media_id"].append(f"{doc_id}#{s['offset']}")
                 out["media_ref"].append(ref)
                 out["payload"].append(payload)

@@ -142,10 +142,12 @@ def test_ann_topk_matches_bruteforce(ray_session):
 
 
 def test_media_features_stub(ray_session):
-    """Real netpbm decode end-to-end; non-netpbm formats without codec
-    libraries raise a clear NotImplementedError."""
+    """Real netpbm decode end-to-end; baseline JPEG decodes through the
+    engine's own T.81 codec; genuinely codec-library variants
+    (progressive JPEG) raise a clear NotImplementedError."""
     import pyarrow as pa
 
+    from osm_wikidata_ray.pipelines.jpeg import encode_jpeg
     from osm_wikidata_ray.pipelines.multimodal import (
         MediaDecoder,
         decode_netpbm,
@@ -158,10 +160,18 @@ def test_media_features_stub(ray_session):
     # PPM roundtrip through the real decoder
     px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
     assert np.array_equal(decode_netpbm(encode_ppm(px)), px)
-    # codec-less formats fail loudly (JPEG magic)
+    # baseline JPEG decodes for real (dims from the actual SOF0 parse)
+    jp = encode_jpeg(px, quality=90)
+    out = MediaDecoder(fake=False)(
+        pa.table({"media_id": ["j"], "payload": [jp]})
+    ).to_pandas()
+    assert out.width[0] == 8 and out.height[0] == 8
+    # progressive JPEG (SOF2) fails loudly in strict mode
+    prog = bytearray(jp)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         MediaDecoder(fake=False)(
-            pa.table({"media_id": ["m"], "payload": [b"\xff\xd8\xff..."]})
+            pa.table({"media_id": ["m"], "payload": [bytes(prog)]})
         )
 
     docs, _ = generate_corpus(60)
@@ -283,11 +293,13 @@ def test_md5_sample_keys_buffer_walk_matches_per_row():
 def test_media_features_mixed_degrades_per_row(ray_session):
     """Heterogeneous-corpus posture (VERDICT r4 #8): non-strict decode
     flags unsupported/corrupt payloads per row instead of failing the
-    stage — PPM/PNG rows decode for real, JPEG rows flag 'unsupported',
-    garbage flags 'corrupt', and every input row survives."""
+    stage — PPM/PNG/baseline-JPEG rows decode for real, progressive JPEG
+    flags 'unsupported', garbage flags 'corrupt', and every input row
+    survives."""
     import numpy as np
     import pyarrow as pa
 
+    from osm_wikidata_ray.pipelines.jpeg import encode_jpeg
     from osm_wikidata_ray.pipelines.multimodal import (
         MediaDecoder,
         encode_png,
@@ -297,37 +309,53 @@ def test_media_features_mixed_degrades_per_row(ray_session):
     from osm_wikidata_ray.sources.synth import generate_corpus
 
     px = np.random.RandomState(7).randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    prog = bytearray(encode_jpeg(px))
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 → SOF2 (progressive)
     out = MediaDecoder(fake=False, strict=False)(
         pa.table(
             {
-                "media_id": ["ppm", "png", "jpg", "junk"],
+                "media_id": ["ppm", "png", "jpg", "prog", "junk"],
                 "payload": [
                     encode_ppm(px),
                     encode_png(px),
-                    b"\xff\xd8\xff\xe0\x00\x10JFIF....",
+                    encode_jpeg(px, quality=90),
+                    bytes(prog),
                     b"P6 not-a-number \x00\x01\x02",
                 ],
             }
         )
     ).to_pandas()
-    assert list(out.status) == ["ok", "ok", "unsupported", "corrupt"]
-    assert list(out.width) == [6, 6, -1, -1]
-    assert list(out.height) == [4, 4, -1, -1]
-    assert out.feature[2] is None and out.feature[3] is None
+    assert list(out.status) == ["ok", "ok", "ok", "unsupported", "corrupt"]
+    assert list(out.width) == [6, 6, 6, -1, -1]
+    assert list(out.height) == [4, 4, 4, -1, -1]
+    assert out.feature[3] is None and out.feature[4] is None
 
     # end-to-end: the mixed table derived from synth docs (format cycles
-    # by offset % 4) keeps EVERY media span, statuses match the cycle
+    # by offset % 4, undecodable slot split by offset % 8) keeps EVERY
+    # media span, statuses match the cycle
     docs, _ = generate_corpus(80)
     ds = ray_session.data.from_items(docs).repartition(2)
-    feats = media_features_mixed(ds, concurrency=(1, 2)).to_pandas()
+    # select the scalar columns before to_pandas: Ray's pandas conversion
+    # trips over a nullable list<float> column when some blocks are
+    # all-non-null (TensorArray cast) — Arrow-side consumers are fine
+    feats = (
+        media_features_mixed(ds, concurrency=(1, 2))
+        .select_columns(["media_id", "status", "width", "height"])
+        .to_pandas()
+    )
     n_media = sum(1 for d in docs for s in d["spans"] if s["kind"] == "media")
     assert len(feats) == n_media
-    off = feats.media_id.str.split("#").str[1].astype(int) % 4
-    want = off.map({0: "ok", 1: "ok", 2: "unsupported", 3: "corrupt"})
+    offs = feats.media_id.str.split("#").str[1].astype(int)
+    off = offs % 4
+    want = np.where(
+        off < 3, "ok", np.where(offs % 8 == 3, "corrupt", "unsupported")
+    )
     assert (feats.status == want).all()
     assert (feats.loc[off == 0, "width"] == 8).all()
     assert (feats.loc[off == 1, "width"] == 7).all()
-    assert (feats.loc[off >= 2, "width"] == -1).all()
+    assert (feats.loc[off == 2, "width"] == 9).all()
+    assert (feats.loc[off == 2, "height"] == 6).all()
+    assert (feats.loc[off == 3, "width"] == -1).all()
 
 
 def test_dedup_minhash_clusters(ray_session, tmp_path):
