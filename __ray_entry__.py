@@ -721,6 +721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact PageRank over the exact k-NN graph (bit-exact vs
         # the serial mirror: int64 mass, rational damping, floor divides)
         "knn_pagerank": lambda sf: td.knn_pagerank(sf).sort(["vec_id"]),
+        # mutual-kNN connected components (thin count exchange + shared
+        # union-find); oracle = exact SQL (kNN window + recursive CTE)
+        "knn_components": lambda sf: td.knn_components(sf).sort(["vec_id"]),
         # distributed exact PCA (integer sufficient statistics + shared
         # eigen/projection kernels — bit-exact vs the serial mirror)
         "embedding_pca": lambda sf: td.embedding_pca(sf).sort(["vec_id"]),
@@ -888,6 +891,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, pr_mass, pagerank
             FROM read_parquet('{td_dumps["knn_pagerank"]}')
             ORDER BY vec_id
+        """,
+        # mutual-kNN connected components, fully SQL-expressible: the
+        # exact kNN window (same tie-break as knn_graph), the mutual
+        # filter as a symmetric self-join, and min-label components as a
+        # recursive-CTE transitive closure (component = min reachable id)
+        "knn_components": """
+            WITH RECURSIVE scored AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        a.embedding, b.embedding) DESC,
+                                    b.vec_id
+                       ) AS rn
+                FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            ), knn AS (
+                SELECT vec_id, neighbor_id FROM scored WHERE rn <= 5
+            ), mutual AS (
+                SELECT a.vec_id AS u, a.neighbor_id AS v
+                FROM knn a JOIN knn b
+                  ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+            ), reach(src, node) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT r.src, m.v FROM reach r JOIN mutual m ON m.u = r.node
+            )
+            SELECT src AS vec_id, min(node)::BIGINT AS component
+            FROM reach GROUP BY src ORDER BY vec_id
         """,
         "embedding_pca": f"""
             SELECT * FROM read_parquet('{td_dumps["embedding_pca"]}')

@@ -119,7 +119,7 @@ TRAINING_BENCHES = [
     "dedup_simhash", "dedup_minhash_clusters", "dedup_simhash_clusters",
     "dedup_embedding_cosine", "dedup_embedding_exact",
     "ann_topk", "ann_topk_ivf", "knn_graph", "knn_graph_ivf", "knn_pagerank",
-    "embedding_pca", "contamination_fuzzy", "bpe_encode",
+    "knn_components", "embedding_pca", "contamination_fuzzy", "bpe_encode",
     "q_pricing_summary", "q_top_customers",
     "q_events_by_type",
     "q_shipping_priority", "q_asof_join", "q_group_topk", "q_band_join",

@@ -3787,6 +3787,89 @@ def knn_pagerank(
     )
 
 
+def knn_components(
+    sf_dir: str, k: int = 5, use_ivf: bool = False
+) -> "ray.data.Dataset":
+    """Connected components of the MUTUAL k-NN graph over the embeddings
+    table — the graph-clustering primitive of curation recipes that need
+    variable-size natural clusters instead of k-means' fixed-k partition
+    (near-dup family discovery, SSL-style concept groups; the mutual
+    filter — keep an edge only when each endpoint ranks in the OTHER's
+    top-k — is the standard densifier-to-cluster step because one-sided
+    kNN edges chain through hubs).  Returns one row per vector:
+    (vec_id, component) with component = min vec_id in its component;
+    vectors with no mutual edge are singletons labeling themselves.
+
+    Scale shape: the kNN edge list is O(n·k) thin int64 pairs; mutuality
+    is ONE (lo, hi)-canonicalized count exchange (a pair is mutual iff
+    its unordered key appears exactly twice — kNN lists are per-vector
+    duplicate-free, so the count IS the orientation count); components
+    come from the shared size-guarded distributed union-find
+    (stages/clustering.connected_components_int — driver path under the
+    edge cap, O(log d) min-label rounds past it), and the singleton fill
+    is a self-label union + min-groupby, never a driver-side id set.
+    use_ivf swaps in the sub-quadratic edge builder with knn_pagerank's
+    corpus-sized list/probe defaults.  The driver oracle recomputes the
+    same thing in pure SQL (exact kNN window + recursive-CTE transitive
+    closure), so this op is exact-checked end to end, not dump-backed."""
+    from ..stages.clustering import connected_components_int
+
+    n_parts = default_partitions()
+    if use_ivf:
+        n = _read(sf_dir, "embeddings", ["vec_id"]).count()
+        n_lists = max(32, min(1024, n // 4000))
+        n_probe = 20 if n_lists <= 32 else 8
+        graph = knn_graph_ivf(sf_dir, k=k, n_lists=n_lists, n_probe=n_probe)
+    else:
+        graph = knn_graph(sf_dir, k=k)
+
+    def lo_hi(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch.column("vec_id"), pa.int64())
+        v = pc.cast(batch.column("neighbor_id"), pa.int64())
+        return pa.table(
+            {"doc_a": pc.min_element_wise(u, v),
+             "doc_b": pc.max_element_wise(u, v)}
+        )
+
+    mutual = (
+        graph.select_columns(["vec_id", "neighbor_id"])
+        .map_batches(lo_hi, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"], num_partitions=n_parts)
+        .count()
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("count()"), 2)).select(
+                ["doc_a", "doc_b"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # barrier between the count and CC all-to-alls
+    )
+    labels = connected_components_int(mutual).map_batches(
+        lambda b: pa.table(
+            {"vec_id": pc.cast(b.column("node"), pa.int64()),
+             "comp": pc.cast(b.column("cluster_id"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    selfs = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        lambda b: pa.table(
+            {"vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+             "comp": pc.cast(b.column("vec_id"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    agg = labels.union(selfs).groupby("vec_id", num_partitions=n_parts).min(
+        "comp"
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+             "component": pc.cast(b.column("min(comp)"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def compression_ratio(sf_dir: str, level: int = 6) -> "ray.data.Dataset":
     """Per-doc zlib compression ratio — the RefinedWeb/Gopher-family
     redundancy signal: highly repetitive or boilerplate text compresses

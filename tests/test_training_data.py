@@ -1487,3 +1487,86 @@ def test_cohort_retention_vs_pandas(ray_session):
     # every user is in its own cohort at offset 0
     day0 = got[got["day_offset"] == 0]["n_users"].sum()
     assert day0 == ev["user_id"].nunique()
+
+
+def test_knn_components_planted_and_numpy_mirror(ray_session, tmp_path):
+    """knn_components: planted tight clusters become one component each,
+    far-out loners stay singletons (mutuality severs their one-sided
+    edges), and the full labeling equals a single-process numpy mirror
+    (exact kNN → mutual filter → union-find)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_wikidata_ray.pipelines.training_data import knn_components
+
+    rng = np.random.RandomState(9)
+    ids, vecs = [], []
+    centers = {0: rng.randn(8) * 4, 20: rng.randn(8) * 4, 40: rng.randn(8) * 4}
+    for base, c in centers.items():
+        for i in range(6):
+            ids.append(base + i)
+            vecs.append(c + rng.randn(8) * 0.01)
+    # loners: ANTIPODAL directions (cosine −1 to each other, ~0 to the
+    # clusters) — each may point a one-sided edge at a cluster, but no
+    # cluster member reciprocates (their top-k stays in-cluster) and the
+    # loners never reciprocate each other, so mutuality isolates both
+    e0 = np.zeros(8)
+    e0[0] = 50.0
+    for lone, v in ((100, e0), (101, -e0)):
+        ids.append(lone)
+        vecs.append(v)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        pa.list_(pa.float64()))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = knn_components(str(tmp_path)).to_pandas().sort_values("vec_id")
+    lbl = dict(zip(got.vec_id, got.component))
+    for base in centers:
+        assert {lbl[base + i] for i in range(6)} == {base}
+    assert lbl[100] == 100 and lbl[101] == 101
+
+    # generic numpy mirror on the same table (no planted assumptions)
+    k = 5
+    v = np.stack(vecs)
+    vn = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-30)
+    sims = vn @ vn.T
+    np.fill_diagonal(sims, -2.0)
+    ids_np = np.asarray(ids, np.int64)
+    knn = {}
+    for qi in range(len(ids)):
+        order = sorted(range(len(ids)), key=lambda j: (-sims[qi, j], ids_np[j]))
+        knn[ids_np[qi]] = {int(ids_np[j]) for j in order[:k]}
+    parent = {int(i): int(i) for i in ids_np}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in knn:
+        for b in knn[a]:
+            if a in knn[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in parent}
+    # re-canonicalize to min member per root
+    comp_min: dict = {}
+    for i, r in expect.items():
+        comp_min[r] = min(comp_min.get(r, i), i)
+    assert lbl == {i: comp_min[r] for i, r in expect.items()}
+
+
+def test_knn_components_ivf_path(ray_session):
+    """The IVF edge-build path labels every vector with a valid component
+    (a present vec_id that is ≤ its own id — min-member convention)."""
+    from osm_wikidata_ray.pipelines.training_data import knn_components
+
+    got = knn_components(SF, use_ivf=True).to_pandas()
+    allv = set(got.vec_id)
+    assert len(got) == len(allv)
+    assert (got.component <= got.vec_id).all()
+    assert set(got.component) <= allv
